@@ -1,0 +1,277 @@
+package graft.pipeline
+
+import graft.model._
+import graft.operators.BlockedBloom
+import graft.oracle.SequentialOracle
+import graft.snapshot.{SnapshotStore, SnapshotTable}
+import graft.synth.{SyntheticWeb, WebConfig}
+import graft.functions.{Predicates, SpanExtractor, UrlFunctions}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The Spark-native crawl frontier + fetch scheduler (SURVEY §3.4). One
+  * generation = one declarative DAG:
+  *
+  * {{{
+  * batch queries (driver, seeded shuffle — main.py:61-65 normalized)
+  *  → flatMap synthetic search (S4/S5/G4)                        [narrow]
+  *  → first-seen-wins window over ArrivalKey (D1 intra-batch)    [shuffle 1: hash(href)]
+  *  → Bloom-routed exact anti-join vs seen (D1/J2)               [reuses shuffle 1 partitioning]
+  *  → relevance predicate (P4), PDF split (P5/S7/D3/J4)          [narrow]
+  *  → robots gate + per-host politeness schedule (window)        [shuffle 2: hash(host)]
+  *  → salted repartition → fetch + span extraction (S6/G1/G2/G5) [shuffle 3: hash(host,salt)]
+  *  → snapshot commits: seen+Δ links+Δ docs+Δ images+Δ pdf+Δ
+  *    metrics+Δ host_state, processed_queries LAST (K3 barrier)
+  * }}}
+  *
+  * Scale design notes:
+  *  - the Bloom tier (blocked, FNV-1a+murmur3, built per-partition and
+  *    OR-merged) routes definitely-new URLs around the anti-join shuffle; at
+  *    10^10-URL frontier scale the overwhelming majority of dup probes die
+  *    in the broadcast filter, the exact anti-join stays the authority so
+  *    the final seen set equals the reference's;
+  *  - politeness is a window over hash(host) partitioning: slot j of host h
+  *    is scheduled at next_free(h) + j*min_delay(h) — per-host state never
+  *    crosses partitions;
+  *  - mega-host skew: the fetch stage repartitions on (host, salt) with
+  *    salt = hash(url) % saltShards, splitting a hot host's fetch work
+  *    across tasks WITHOUT violating the per-host schedule (scheduled times
+  *    are already assigned; shards only execute);
+  *  - every count used for counters is taken from a persisted Dataset so
+  *    no stage re-executes nondeterministically.
+  *
+  * Crash consistency: processed_queries commits last; [[rollbackPartial]]
+  * time-travels every other table back to the last fully-committed
+  * generation on restart, giving exactly the reference's observable
+  * idempotent-resume semantics (tracker replay + master replay,
+  * main.py:43-49, crawler.py:31-40) but atomically.
+  */
+final class CrawlEngine(
+    spark: SparkSession,
+    cfg: WebConfig,
+    storeRoot: String,
+    batchSize: Int,
+    saltShards: Int = 4,
+    bloomBitsPerKey: Int = 12) extends Serializable {
+
+  import spark.implicits._
+
+  @transient private val store = SnapshotStore(storeRoot)
+  @transient val seenT: SnapshotTable = store.table("seen")
+  @transient val linksT: SnapshotTable = store.table("links")
+  @transient val docsT: SnapshotTable = store.table("documents")
+  @transient val imagesT: SnapshotTable = store.table("images")
+  @transient val pdfT: SnapshotTable = store.table("pdf_urls")
+  @transient val processedT: SnapshotTable = store.table("processed_queries")
+  @transient val hostStateT: SnapshotTable = store.table("host_state")
+  @transient val metricsT: SnapshotTable = store.table("metrics")
+  @transient val eventsT: SnapshotTable = store.table("fetch_events")
+
+  /** Driver-resident Bloom prefilter over the seen table; rebuilt from the
+    * table on startup (resume), incrementally extended per generation.
+    */
+  @transient private var bloom: BlockedBloom = _
+
+  private def initBloom(): Unit = if (bloom == null) {
+    val expected = math.max(1L << 16, seenT.currentSnapshot.map(_.rowCount * 4).getOrElse(0L))
+    bloom = BlockedBloom.sized(expected, bloomBitsPerKey)
+    seenT.read(spark).foreach { df =>
+      val built = BlockedBloom.build(df.select($"href").as[String], expected, bloomBitsPerKey)
+      bloom.merge(built)
+    }
+  }
+
+  def lastCommittedGeneration: Int =
+    processedT.currentSnapshot.map(_.generation).getOrElse(0)
+
+  /** Roll every table back to the last generation whose processed_queries
+    * barrier committed (T2/T3 resume semantics).
+    */
+  def rollbackPartial(): Unit = {
+    val committed = lastCommittedGeneration
+    Seq(seenT, linksT, docsT, imagesT, pdfT, hostStateT, metricsT, eventsT).foreach { t =>
+      t.rollbackToGeneration(committed)
+    }
+  }
+
+  def processedQueries(): Set[String] =
+    processedT.read(spark).map(_.select($"query").as[String].collect().toSet).getOrElse(Set.empty)
+
+  /** Full run: the reference batch loop (main.py:54-104). Returns the number
+    * of generations executed.
+    */
+  def run(seedQueries: Seq[String], maxRounds: Int = Int.MaxValue): Int = {
+    rollbackPartial()
+    initBloom()
+    var round = lastCommittedGeneration
+    var executed = 0
+    var remaining = currentRemaining(seedQueries)
+    while (remaining.nonEmpty && executed < maxRounds) {
+      round += 1
+      val shuffled = remaining.sortBy(q => (SequentialOracle.shuffleRank(cfg.seed, round, q), q))
+      val batch = shuffled.take(batchSize)
+      runGeneration(round, batch)
+      remaining = shuffled.drop(batchSize)
+      executed += 1
+    }
+    executed
+  }
+
+  /** D2: seed order preserved, processed queries anti-filtered (main.py:48).
+    * Seed lists are driver-resident in the reference too; the processed set
+    * is read from the snapshot table.
+    */
+  private def currentRemaining(seedQueries: Seq[String]): Vector[String] = {
+    val processed = processedQueries()
+    seedQueries.iterator.map(_.trim).filter(_.nonEmpty).filterNot(processed).toVector
+  }
+
+  /** One generation DAG. Batch is small (driver-held, like the reference's
+    * batch list); everything downstream is distributed.
+    */
+  def runGeneration(round: Int, batch: Seq[String]): Map[String, Long] = {
+    initBloom()
+    val webCfg = cfg
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // ---- G4: search fan-out (both kinds, all pages) --------------------
+    val batchDs = spark.createDataset(batch.zipWithIndex.map { case (q, i) => (q, i) })
+    val candidates: Dataset[Link] = batchDs.flatMap { case (query, qRank) =>
+      for {
+        kind <- 0 to 1
+        page <- 1 to webCfg.pages
+        // crawler.py:80 pageno bug: general search always requests cfg.pages
+        effPage = if (kind == 1) page else webCfg.pages
+        (hit, rRank) <- SyntheticWeb.searchHits(webCfg, query, effPage, kind == 1).zipWithIndex
+        if hit.url != null && hit.url.nonEmpty // P3
+      } yield Link(hit.title, hit.url, hit.content, query, effPage, hit.engine,
+        if (kind == 1) Some("image") else None, hit.img_src, hit.thumbnail_src,
+        round, qRank, kind, rRank, UrlFunctions.hostOf(hit.url))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val nCandidates = candidates.count()
+
+    // ---- D1: intra-batch first-seen-wins on deterministic ArrivalKey ----
+    val arrival = Seq($"kind", $"query_rank", $"page", $"result_rank")
+    val wHref = Window.partitionBy($"href").orderBy(arrival: _*)
+    val firstSeen = candidates.toDF()
+      .withColumn("rn", row_number().over(wHref)).filter($"rn" === 1).drop("rn")
+
+    // ---- D1/J2: Bloom-routed exact anti-join vs the seen table ---------
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((href: String) => bloomBc.value.mightContain(href))
+    val newLinks = (seenT.read(spark) match {
+      case None => firstSeen
+      case Some(seenDf) =>
+        val defNew = firstSeen.filter(!mightContain($"href"))
+        val maybe = firstSeen.filter(mightContain($"href"))
+          .join(seenDf.select($"href"), Seq("href"), "left_anti")
+        defNew.unionByName(maybe)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val nNew = newLinks.count()
+
+    // ---- P4: relevance gate (deterministic 2-of-3 vote) ----------------
+    val kept = newLinks
+      .filter(Predicates.isRelevantCol($"title", $"href", $"content"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+
+    // ---- P5/S7/D3: PDF split -------------------------------------------
+    val confirmsPdf = udf((u: String) => SyntheticWeb.confirmsPdf(webCfg, u))
+    val isPdf = Predicates.isLikelyPdfUrlCol($"href") && confirmsPdf($"href")
+    val pdfLinks = kept.filter(isPdf)
+    val htmlLinks = kept.filter(!isPdf)
+
+    // ---- T4: robots gate + per-host politeness schedule ----------------
+    val robotsOk = udf((u: String) => SyntheticWeb.robotsAllows(webCfg, u))
+    val minDelayOf = udf((host: String) => SyntheticWeb.minDelayMs(webCfg, SyntheticWeb.hostRankOf(host)))
+    val allowed = htmlLinks.filter(robotsOk($"href"))
+    val hostState = hostStateT.read(spark)
+      .getOrElse(Seq.empty[(String, Long)].toDF("host", "next_free_ms"))
+    val wHost = Window.partitionBy($"host").orderBy(arrival: _*)
+    val sched = allowed
+      .join(broadcast(hostState), Seq("host"), "left")
+      .na.fill(0L, Seq("next_free_ms"))
+      .withColumn("slot", row_number().over(wHost) - lit(1))
+      .withColumn("min_delay_ms", minDelayOf($"host"))
+      .withColumn("scheduled_ms", $"next_free_ms" + $"slot" * $"min_delay_ms")
+      .withColumn("salt", pmod(xxhash64($"href"), lit(saltShards)).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nScheduled = sched.count()
+    val nRobotsBlocked = {
+      val htmlCount = nKept - pdfLinks.count()
+      htmlCount - nScheduled
+    }
+
+    // ---- S6/G1/G2/G5: salted fetch + interleaved span extraction -------
+    val fetched: Dataset[(PageDoc, Seq[SequentialOracle.OracleImage])] = sched
+      .select($"href", $"host", $"salt", $"scheduled_ms")
+      .repartition(nPart, $"host", $"salt")
+      .sortWithinPartitions($"scheduled_ms") // politeness order within shard
+      .as[(String, String, Int, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (url, _, _, _) =>
+          SyntheticWeb.fetch(webCfg, url).map { html =>
+            val ex = SpanExtractor.extract(url, html)
+            val doc = PageDoc(SpanExtractor.docId(url), url, ex.pageTitle,
+              ex.pageSummary, ex.spans, round)
+            val imgs: Seq[SequentialOracle.OracleImage] =
+              ex.images.map(r => SequentialOracle.OracleImage(
+                r.image_url, url, ex.pageTitle, r.alt_text, r.title_attribute,
+                r.raw_caption, ex.pageSummary, round))
+            (doc, imgs)
+          }
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val docsDf = fetched.map(_._1)
+    val imagesDf = fetched.flatMap(_._2)
+    val nDocs = docsDf.count()
+
+    // ---- commits (processed_queries LAST — K3 barrier) -----------------
+    val counters = Map(
+      "candidates" -> nCandidates,
+      "skipped" -> (nCandidates - nNew),
+      "new" -> nNew,
+      "added" -> nKept,
+      "scheduled" -> nScheduled,
+      "robots_blocked" -> nRobotsBlocked,
+      "docs" -> nDocs)
+
+    seenT.append(newLinks.select($"href", $"host"), round, counters)
+    // update the driver Bloom with this generation's new URLs
+    newLinks.select($"href").as[String].toLocalIterator().forEachRemaining(bloom.add)
+    linksT.append(kept.toDF(), round)
+    pdfT.append(pdfLinks.select($"href".as("url"), lit(round).as("generation")), round)
+    eventsT.append(
+      sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
+        $"min_delay_ms", lit(round).as("round")), round)
+    // host_state: untouched hosts keep state; scheduled hosts advance
+    val updatedState = sched.groupBy($"host")
+      .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free_ms"))
+    val newState = hostState.join(updatedState, Seq("host"), "left_anti")
+      .unionByName(updatedState)
+    hostStateT.replace(newState, round)
+    docsT.append(docsDf.toDF(), round, counters)
+    imagesT.append(imagesDf.toDF(), round)
+    metricsT.append(counters.toSeq.toDF("key", "value").withColumn("generation", lit(round)), round)
+    processedT.append(batch.zipWithIndex.toDF("query", "query_rank")
+      .withColumn("generation", lit(round)), round) // commit point
+
+    Seq(candidates, newLinks, kept, sched, fetched).foreach(_.unpersist())
+    counters
+  }
+
+  // ------------------------------------------------------- verification IO
+  def seenSet(): Set[String] =
+    seenT.read(spark).map(_.select($"href").as[String].collect().toSet).getOrElse(Set.empty)
+
+  def crawlOrder(): Vector[String] =
+    eventsT.read(spark).map(
+      _.orderBy($"round", $"scheduled_ms", $"host", $"url")
+        .select($"url").as[String].collect().toVector).getOrElse(Vector.empty)
+
+  def docs(): Vector[PageDoc] =
+    docsT.read(spark).map(_.as[PageDoc].collect().toVector).getOrElse(Vector.empty)
+}

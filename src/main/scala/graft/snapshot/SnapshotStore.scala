@@ -1,0 +1,154 @@
+package graft.snapshot
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot table layer over Parquet (SURVEY §4.3: no Iceberg
+  * artifact exists in the offline environment, so the engine implements the
+  * subset of Iceberg the north rule exercises):
+  *
+  *  - append / replace commits producing immutable snapshots
+  *  - a JSON manifest per snapshot: snapshot id, parent id, generation,
+  *    per-file row counts (per-partition lineage), commit counters
+  *  - atomic commit by writing `snapshot-<id>.json` then atomically renaming
+  *    a temp pointer onto `current` (crash before the rename = clean
+  *    rollback to the parent snapshot)
+  *  - time-travel reads by snapshot id; resume = read `current`
+  *
+  * Layout:
+  * {{{
+  *   <root>/<table>/data/s<id>/part-*.parquet
+  *   <root>/<table>/snapshots/snapshot-<id>.json
+  *   <root>/<table>/current
+  * }}}
+  */
+final case class DataFileMeta(path: String, rows: Long)
+
+final case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Long, // -1 = none
+    generation: Int,
+    files: List[DataFileMeta],
+    rowCount: Long,
+    counters: Map[String, Long])
+
+final class SnapshotTable(val root: Path, val name: String) {
+  private implicit val formats: Formats = DefaultFormats
+
+  private def tableDir: Path = root.resolve(name)
+  private def snapDir: Path = tableDir.resolve("snapshots")
+  private def currentPtr: Path = tableDir.resolve("current")
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim.toLong) else None
+
+  def snapshot(id: Long): SnapshotMeta =
+    Serialization.read[SnapshotMeta](Files.readString(snapDir.resolve(s"snapshot-$id.json")))
+
+  def currentSnapshot: Option[SnapshotMeta] = currentSnapshotId.map(snapshot)
+
+  def isEmpty: Boolean = currentSnapshot.forall(_.files.isEmpty)
+
+  /** All snapshots, oldest first (time-travel index). */
+  def history: Seq[SnapshotMeta] = {
+    if (!Files.exists(snapDir)) return Seq.empty
+    Files.list(snapDir).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("snapshot-"))
+      .map(p => Serialization.read[SnapshotMeta](Files.readString(p)))
+      .toSeq.sortBy(_.snapshotId)
+  }
+
+  /** Read table state at a snapshot (default: current). Returns None when
+    * the table has no data yet (caller supplies the empty-case plan).
+    */
+  def read(spark: SparkSession, at: Option[Long] = None): Option[DataFrame] = {
+    val meta = at.map(snapshot).orElse(currentSnapshot)
+    meta.filter(_.files.nonEmpty).map(m => spark.read.parquet(m.files.map(_.path): _*))
+  }
+
+  /** Append commit: write df as new data files, new snapshot = parent files
+    * + new files. Returns the committed snapshot.
+    */
+  def append(df: DataFrame, generation: Int, counters: Map[String, Long] = Map.empty): SnapshotMeta =
+    commit(df, generation, counters, replace = false)
+
+  /** Replace commit: new snapshot's data = df alone (used for compacted
+    * state tables like host_state where the new state supersedes the old).
+    */
+  def replace(df: DataFrame, generation: Int, counters: Map[String, Long] = Map.empty): SnapshotMeta =
+    commit(df, generation, counters, replace = true)
+
+  private def commit(df: DataFrame, generation: Int, counters: Map[String, Long], replace: Boolean): SnapshotMeta = {
+    Files.createDirectories(snapDir)
+    val parent = currentSnapshot
+    val id = parent.map(_.snapshotId + 1).getOrElse(0L)
+    val dataDir = tableDir.resolve(s"data/s$id")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val newFiles = listParquet(dataDir).map { p =>
+      DataFileMeta(p.toString, parquetRows(p))
+    }
+    val files = (if (replace) Nil else parent.map(_.files).getOrElse(Nil)) ++ newFiles
+    val meta = SnapshotMeta(id, parent.map(_.snapshotId).getOrElse(-1L), generation,
+      files, files.map(_.rows).sum, counters)
+    Files.writeString(snapDir.resolve(s"snapshot-$id.json"), Serialization.write(meta))
+    // atomic pointer flip — the actual commit point
+    val tmp = tableDir.resolve(s".current.tmp$id")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    meta
+  }
+
+  /** Time-travel the current pointer back until the table's latest commit
+    * is from generation <= gen (crash-recovery: discard partial-generation
+    * commits whose processed_queries barrier never landed). Data files of
+    * discarded snapshots stay on disk (they are unreachable, like Iceberg
+    * orphans) — commits are pointer flips, so this is atomic per table.
+    */
+  def rollbackToGeneration(gen: Int): Unit = {
+    var cur = currentSnapshot
+    while (cur.exists(_.generation > gen)) {
+      val parentId = cur.get.parentId
+      if (parentId < 0) {
+        Files.deleteIfExists(currentPtr)
+        cur = None
+      } else {
+        val tmp = tableDir.resolve(s".current.tmp.rb$parentId")
+        Files.writeString(tmp, parentId.toString)
+        Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        cur = Some(snapshot(parentId))
+      }
+    }
+  }
+
+  private def listParquet(dir: Path): List[Path] =
+    Files.list(dir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+
+  /** Row count from the parquet footer (no data read). */
+  private def parquetRows(p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}
+
+/** A set of snapshot tables under one root — the engine's "warehouse". */
+final class SnapshotStore(val root: Path) {
+  def table(name: String): SnapshotTable = new SnapshotTable(root, name)
+}
+
+object SnapshotStore {
+  def apply(root: String): SnapshotStore = {
+    val p = Paths.get(root)
+    Files.createDirectories(p)
+    new SnapshotStore(p)
+  }
+}

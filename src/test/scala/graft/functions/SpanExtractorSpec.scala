@@ -1,0 +1,129 @@
+package graft.functions
+
+import graft.model.SpanKind
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanExtractorSpec extends AnyFunSuite {
+
+  val pageUrl = "https://host1.example/wiki/page1.html"
+
+  test("ordered interleaved extraction with markdown parity (helper_classes.py:113-177)") {
+    val html =
+      """<title>My Page</title>
+        |<meta name="description" content="a summary here">
+        |<h2>Section One</h2>
+        |<p>short</p>
+        |<p>this paragraph is long enough to survive the filter</p>
+        |<ul><li>alpha</li><li>beta</li></ul>
+        |<blockquote>quoted text</blockquote>
+        |<img src="https://host1.example/images/img1-640x400.jpg" alt="pic">
+        |<ol><li>one</li></ol>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    assert(ex.pageTitle == "My Page")
+    assert(ex.pageSummary == "a summary here")
+    val kinds = ex.spans.map(_.kind)
+    assert(kinds == Vector("title", "meta", "heading", "para", "list_item",
+      "list_item", "quote", "image", "list_item"))
+    assert(ex.spans.map(_.offset) == (0 until 9).toVector)
+    assert(ex.spans(2).text == "## Section One")
+    assert(ex.spans(4).text == "- alpha")
+    assert(ex.spans(8).text == "1. one")
+    assert(ex.spans(6).text == "> quoted text")
+    assert(ex.spans(7).media_ref == "https://host1.example/images/img1-640x400.jpg")
+    // markdown: title/meta carry "\n", list gets trailing empty line, image absent
+    assert(ex.markdown ==
+      "# My Page\n\n*a summary here*\n\n## Section One\n" +
+        "this paragraph is long enough to survive the filter\n" +
+        "- alpha\n- beta\n\n> quoted text\n1. one\n")
+  }
+
+  test("summary fallback: first <p> longer than 50 chars (helper_classes.py:31-36)") {
+    val html =
+      """<title>T</title>
+        |<p>too short for summary</p>
+        |<p>this paragraph is definitely longer than fifty characters in total</p>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    assert(ex.pageSummary.startsWith("this paragraph is definitely"))
+  }
+
+  test("image canonical dedup keeps max-area, first-maximal tie-break (scraper.py:302-317)") {
+    val html =
+      """<title>T</title>
+        |<p>context paragraph before image</p>
+        |<img src="https://host1.example/images/img9-320x200.jpg" alt="small">
+        |<img src="https://host1.example/images/img9-1280x800.jpg" alt="big">
+        |<img src="https://host1.example/images/img9-640x400.jpg" alt="mid">""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val imgs = ex.spans.filter(_.kind == SpanKind.Image)
+    assert(imgs.size == 1)
+    assert(imgs.head.media_ref.endsWith("img9-1280x800.jpg"))
+    assert(ex.images.map(_.alt_text) == Vector("big"))
+  }
+
+  test("invalid image URLs are dropped; relative srcs resolve against the page (P6/F8)") {
+    val html =
+      """<title>T</title>
+        |<img src="/images/img5-640x400.jpg" alt="rel">
+        |<img src="https://x.doubleclick.net/img/banner1.jpg" alt="ad">
+        |<img src="https://host1.example/assets/style3.svg" alt="svg">""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val imgs = ex.spans.filter(_.kind == SpanKind.Image)
+    assert(imgs.map(_.media_ref) == Vector("https://host1.example/images/img5-640x400.jpg"))
+  }
+
+  test("srcset beats src; ', '-separated srcset exhibits the reference quirk (scraper.py:216-227)") {
+    // comma-only separator: clean parse, 1280w candidate wins over src
+    val clean =
+      """<title>T</title>
+        |<img src="https://host1.example/images/img1-320x200.jpg" alt="x" srcset="https://host1.example/images/a-640x400.jpg 640w,https://host1.example/images/b-1280x800.jpg 1280w">""".stripMargin
+    assert(SpanExtractor.extract(pageUrl, clean).spans.filter(_.kind == SpanKind.Image)
+      .head.media_ref.endsWith("b-1280x800.jpg"))
+    // ", " separator: second entry parses as url "" (reference split quirk),
+    // first entry (640w) is the max and wins
+    val quirky =
+      """<title>T</title>
+        |<img src="https://host1.example/images/img1-320x200.jpg" alt="x" srcset="https://host1.example/images/a-640x400.jpg 640w, https://host1.example/images/b-1280x800.jpg 1280w">""".stripMargin
+    assert(SpanExtractor.extract(pageUrl, quirky).spans.filter(_.kind == SpanKind.Image)
+      .head.media_ref.endsWith("a-640x400.jpg"))
+    // srcset whose best is "" falls back to plain src (python truthiness)
+    val fallback =
+      """<title>T</title>
+        |<img src="https://host1.example/images/img1-320x200.jpg" alt="x" srcset=" only.jpg 9999w">""".stripMargin
+    assert(SpanExtractor.extract(pageUrl, fallback).spans.filter(_.kind == SpanKind.Image)
+      .head.media_ref.endsWith("img1-320x200.jpg"))
+  }
+
+  test("surrounding text: prev + figcaption + keyword-sibling + next, 1000-char cap (helper_classes.py:38-82)") {
+    val html =
+      """<title>T</title>
+        |<p>previous paragraph with plenty of text</p>
+        |<figure><img src="https://host1.example/images/img2-640x400.jpg" alt="a"><figcaption>the caption</figcaption></figure>
+        |<p>look at this photo of the city</p>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val img = ex.spans.filter(_.kind == SpanKind.Image).head
+    // order: prev, figcaption, keyword-sib, next (keyword-sib == next here)
+    assert(img.text == "previous paragraph with plenty of text the caption " +
+      "look at this photo of the city look at this photo of the city")
+    // cap at 1000 chars + ellipsis
+    val longText = "x" * 600
+    val html2 = s"""<title>T</title>
+        |<p>$longText</p>
+        |<img src="https://host1.example/images/img3.jpg" alt="b">
+        |<p>$longText</p>""".stripMargin
+    val cap = SpanExtractor.extract(pageUrl, html2).spans.filter(_.kind == SpanKind.Image).head.text
+    assert(cap.length == 1001 && cap.endsWith("…"))
+  }
+
+  test("generator pages round-trip deterministically (FIXTURES §1 invertibility)") {
+    import graft.synth.{SyntheticWeb, WebConfig}
+    val cfg = WebConfig(seed = 7, nHosts = 20)
+    val url = SyntheticWeb.pageUrl(cfg, 3, 2L)
+    val h1 = SyntheticWeb.pageHtml(cfg, url)
+    val h2 = SyntheticWeb.pageHtml(cfg, url)
+    assert(h1 == h2)
+    val e1 = SpanExtractor.extract(url, h1)
+    val e2 = SpanExtractor.extract(url, h2)
+    assert(e1.spans == e2.spans)
+    assert(e1.spans.nonEmpty)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.oracle.SequentialOracle
+import graft.synth.WebConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The BASELINE.json completeness criteria, verbatim: same seed list +
+  * politeness budget ⇒ engine crawl order == oracle order, URL-seen set
+  * equality, per-row span-sequence equality on (kind, text, media_ref,
+  * order) — plus resume equivalence and partition-count stability.
+  */
+class OracleEngineParitySpec extends AnyFunSuite {
+
+  val cfg = WebConfig(seed = 42, nHosts = 50, resultsPerPage = 8, pages = 1)
+  val seeds: Seq[String] = (1 to 12).map(i => s"singapore topic $i query") ++ Seq("", "  ")
+  val batchSize = 5
+
+  lazy val oracle: SequentialOracle.OracleResult =
+    SequentialOracle.run(cfg, seeds, batchSize)
+
+  private def newEngine(dir: String): CrawlEngine =
+    new CrawlEngine(SparkTestSession.spark, cfg, dir, batchSize)
+
+  private def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("end-to-end: URL-seen set, crawl order, span sequences, counters match the oracle") {
+    val dir = tempDir("e2e")
+    val eng = newEngine(dir)
+    val rounds = eng.run(seeds)
+    assert(rounds == 3) // ceil(12/5)
+
+    // URL-seen set equality
+    assert(eng.seenSet() == oracle.seen)
+
+    // crawl order equality (fetch schedule)
+    assert(eng.crawlOrder() == oracle.crawlOrder)
+
+    // span-sequence equality per doc on (kind, text, media_ref, order)
+    val engDocs = eng.docs().map(d => d.doc_id -> d).toMap
+    val oraDocs = oracle.docs.map(d => d.doc_id -> d).toMap
+    assert(engDocs.keySet == oraDocs.keySet)
+    oraDocs.foreach { case (id, od) =>
+      val ed = engDocs(id)
+      assert(ed.spans == od.spans, s"span mismatch for ${od.page_url}")
+      assert(ed.page_title == od.page_title && ed.page_summary == od.page_summary)
+    }
+    assert(oraDocs.nonEmpty, "fixture must actually produce documents")
+    assert(oraDocs.values.exists(_.spans.exists(_.kind == "image")),
+      "fixture must produce interleaved image spans")
+
+    // pdf + counters
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val engPdfs = eng.pdfT.read(spark).map(_.select("url").as[String].collect().toSet).getOrElse(Set.empty)
+    assert(engPdfs == oracle.pdfUrls.toSet)
+    val m = eng.metricsT.read(spark).get.as[(String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(m("added") == oracle.counters("added"))
+    assert(m("skipped") == oracle.counters("skipped"))
+    assert(m("docs") == oracle.counters("fetched"))
+    assert(m("robots_blocked") == oracle.counters("robots_blocked"))
+
+    // processed queries: all non-blank seeds, checkpointed
+    val processed = eng.processedQueries()
+    assert(processed == oracle.processedQueries.toSet)
+  }
+
+  test("partition-count stability: same results at different shuffle parallelism") {
+    val spark = SparkTestSession.spark
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val eng = newEngine(tempDir("p7"))
+      eng.run(seeds)
+      assert(eng.crawlOrder() == oracle.crawlOrder)
+      assert(eng.seenSet() == oracle.seen)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("resume equivalence: stop after generation 1, new engine instance finishes identically") {
+    val dir = tempDir("resume")
+    val eng1 = newEngine(dir)
+    eng1.run(seeds, maxRounds = 1)
+    assert(eng1.lastCommittedGeneration == 1)
+    // fresh instance (fresh Bloom rebuilt from the seen table) resumes
+    val eng2 = newEngine(dir)
+    eng2.run(seeds)
+    assert(eng2.seenSet() == oracle.seen)
+    assert(eng2.crawlOrder() == oracle.crawlOrder)
+    assert(eng2.docs().map(_.doc_id).toSet == oracle.docs.map(_.doc_id).toSet)
+  }
+
+  test("crash mid-generation: partial commits roll back to the barrier") {
+    val dir = tempDir("crash")
+    val eng = newEngine(dir)
+    eng.run(seeds, maxRounds = 1)
+    // simulate a crash AFTER some table commits of generation 2 but BEFORE
+    // the processed_queries barrier: append junk to seen as generation 2
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    eng.seenT.append(Seq(("https://junk.example/x", "junk.example")).toDF("href", "host"), 2)
+    val eng2 = newEngine(dir)
+    eng2.run(seeds)
+    assert(eng2.seenSet() == oracle.seen, "rolled-back partial generation must not leak")
+    assert(eng2.crawlOrder() == oracle.crawlOrder)
+  }
+
+  test("dedup idempotence: re-running the same seeds is a no-op") {
+    val dir = tempDir("idem")
+    val eng = newEngine(dir)
+    eng.run(seeds)
+    val seenBefore = eng.seenSet()
+    val docsBefore = eng.docs().size
+    val eng2 = newEngine(dir)
+    val extra = eng2.run(seeds)
+    assert(extra == 0, "all queries processed → no further generations")
+    assert(eng2.seenSet() == seenBefore && eng2.docs().size == docsBefore)
+  }
+
+  test("politeness invariant: consecutive fetches per host spaced >= min_delay") {
+    val byHost = oracle.fetchEvents.groupBy(_.host)
+    byHost.foreach { case (host, evs) =>
+      val times = evs.map(_.scheduled_ms).sorted
+      times.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= evs.head.min_delay_ms, s"host $host violates min delay")
+        case _ => ()
+      }
+    }
+    assert(byHost.nonEmpty)
+  }
+}
