@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Predicates
+import graft.ml.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.synth.{SyntheticWeb, WebConfig}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one entry per implemented operator (SURVEY §2 + the
+  * training-data-pipeline operators), each with a DuckDB-equivalent oracle
+  * SQL where the semantics are SQL-expressible. Non-SQL-expressible ops
+  * (hash-based LSH, synthetic-web ops, fingerprints) are registered without
+  * an oracle → driver's rows-only check; their semantics are covered by
+  * ScalaTest oracles instead.
+  *
+  * Conventions shared with the oracles: every output column is explicitly
+  * aliased identically on both sides; every query ends in a deterministic
+  * ORDER BY; aggregates avoid order-dependent floating-point accumulation
+  * (integer counts, raw stored doubles, or integral-valued double sums).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  /** URL corpus deterministically derived from doc_id — lets URL operators
+    * be oracle-checked in pure SQL (same construction both sides).
+    */
+  private def urlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"),
+      concat(lit("https://host"), col("doc_id") % 40, lit(".example"),
+        when(col("doc_id") % 7 === 0, concat(lit("/files/doc"), col("doc_id"), lit(".pdf")))
+          .when(col("doc_id") % 7 === 1, concat(lit("/download/item"), col("doc_id")))
+          .when(col("doc_id") % 7 === 2, concat(lit("/report"), col("doc_id"), lit("?format=pdf")))
+          .when(col("doc_id") % 7 === 3, concat(lit("/images/img"), col("doc_id"), lit("-640x400.jpg")))
+          .when(col("doc_id") % 7 === 4, concat(lit("/assets/style"), col("doc_id"), lit(".svg")))
+          .when(col("doc_id") % 7 === 5, concat(lit("/private/page"), col("doc_id"), lit(".html")))
+          .otherwise(concat(lit("/wiki/page"), col("doc_id"), lit(".html")))).as("url"))
+  }
+
+  /** Documents augmented with planted near-duplicates (doc_id+1000000,
+    * one token appended) — the dedup-family fixture, same construction in
+    * the SQL oracles.
+    */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzzplanted")).as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- aggregation / group-by (A1/A4) ----------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---------------- sources + blank filter (S1/P1) ----------------
+    "q_seed_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- first-seen-wins dedup (D1/O1) ----------------
+    "q_first_seen_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---------------- anti/semi joins (D2/J1/J3) ----------------
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // ---------------- argmax per group (D4/A3) ----------------
+    "q_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---------------- per-group top-k (O5 priority frontier) ----------------
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    // ---------------- broadcast dimension joins ----------------
+    "q_join_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---------------- sessionization (T-family stateful analog) ----------------
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp"))) // ts is NTZ; session tz is UTC
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id")).agg(sum(col("new_s")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---------------- tumbling event-time window (T-family) ----------------
+    "q_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---------------- PDF heuristic on a derived URL corpus (P5) ----------------
+    "q_pdf_heuristic" -> ((s, dir) => {
+      urlCorpus(s, dir)
+        .select(col("doc_id"), col("url"),
+          Predicates.isLikelyPdfUrlCol(col("url")).as("is_likely_pdf"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- exact dedup (hash groupBy) ----------------
+    "q_dedup_exact" -> ((s, dir) => {
+      TextDedup.exactDups(t(s, dir, "documents")).orderBy(col("keep_id"))
+    }),
+
+    // ---------------- n-gram Jaccard near-dup (inverted index) ----------------
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val toks = TextDedup.shingleTokens(plantedDocs(s, dir), 3)
+      TextDedup.jaccardPairsFromTokens(toks, 0.8)
+        .select(col("a"), col("b"), col("shared"), col("na"), col("nb"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------- MinHash+LSH near-dup candidates (rows-only) ----------------
+    "q_dedup_minhash" -> ((s, dir) => {
+      TextDedup.minhashLshCandidates(plantedDocs(s, dir))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------- SimHash near-dup candidates (rows-only) ----------------
+    "q_dedup_simhash" -> ((s, dir) => {
+      TextDedup.simhashCandidates(plantedDocs(s, dir))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------- embedding-cosine near-dup via LSH buckets ----------------
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+      TextDedup.embeddingNearDups(planted, 0.95)
+        .select(col("a"), col("b")).orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------- similarity search: exact brute-force top-k ----------------
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---------------- similarity search: LSH-bucketed ANN (rows-only) ----------------
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---------------- text analysis: token statistics ----------------
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordTokenCount(col("text")).as("n_subword"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- text analysis: language distribution ----------------
+    "q_lang_dist" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // ---------------- text analysis: lang-id + quality (rows-only) ----------------
+    "q_lang_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- document fingerprinting (rows-only) ----------------
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"),
+        size(TextAnalysis.winnowingFingerprints(col("text"), lit(8), lit(4))).as("n_winnow"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- multimodal plumbing (rows-only; decode is stubbed) ----------------
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+      Multimodal.decodeFeatures(media).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+          sum(col("frames_sampled")).as("total_frames"))
+        .orderBy(col("kind"))
+    }),
+
+    // ---------------- crawl ops on the synthetic web (rows-only) ----------------
+    "q_crawl_search" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = WebConfig(seed = 42, nHosts = 100)
+      val qs = (1 to 8).map(i => s"singapore topic $i")
+      val hits = s.createDataset(qs).flatMap(q =>
+        SyntheticWeb.searchHits(cfg, q, 1, isImage = false).map(h => (q, h.url, h.title, h.content)))
+        .toDF("query", "url", "title", "content")
+      val w = Window.partitionBy(col("url")).orderBy(col("query"))
+      hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(Predicates.isRelevantCol(col("title"), col("url"), col("content")))
+        .select(col("query"), col("url")).orderBy(col("query"), col("url"))
+    }),
+
+    // ---------------- span extraction on the synthetic web (rows-only) ----------------
+    "q_span_extract" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = WebConfig(seed = 42, nHosts = 100)
+      val urls = (1 to 40).map(i => SyntheticWeb.pageUrl(cfg, 1 + i % 20, i.toLong))
+      s.createDataset(urls.distinct)
+        .flatMap { u =>
+          SyntheticWeb.fetch(cfg, u).toSeq.flatMap { html =>
+            val ex = graft.functions.SpanExtractor.extract(u, html)
+            ex.spans.map(sp => (graft.functions.SpanExtractor.docId(u), sp.offset, sp.kind, sp.text))
+          }
+        }.toDF("doc_id", "offset", "kind", "text")
+        .orderBy(col("doc_id"), col("offset"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per oracle-checkable query. Table names resolve
+    * to the same parquet files; column aliases match the Spark side exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_seed_filter" ->
+      "SELECT doc_id, n_chars FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id",
+
+    "q_first_seen_dedup" ->
+      """SELECT user_id, event_id AS first_event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_argmax" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) t WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts,
+        |          lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |        FROM events) a) b
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pdf_heuristic" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'https://host' || (doc_id % 40) || '.example' ||
+        |    CASE
+        |      WHEN doc_id % 7 = 0 THEN '/files/doc' || doc_id || '.pdf'
+        |      WHEN doc_id % 7 = 1 THEN '/download/item' || doc_id
+        |      WHEN doc_id % 7 = 2 THEN '/report' || doc_id || '?format=pdf'
+        |      WHEN doc_id % 7 = 3 THEN '/images/img' || doc_id || '-640x400.jpg'
+        |      WHEN doc_id % 7 = 4 THEN '/assets/style' || doc_id || '.svg'
+        |      WHEN doc_id % 7 = 5 THEN '/private/page' || doc_id || '.html'
+        |      ELSE '/wiki/page' || doc_id || '.html'
+        |    END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |        regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |        CASE WHEN contains(lower(url), '?')
+        |             THEN regexp_extract(lower(url), '\?([^#]*)', 1) ELSE '' END AS query
+        |      FROM u)
+        |SELECT doc_id, url,
+        |  (path LIKE '%.pdf' OR contains(path, 'pdf') OR contains(query, 'pdf')
+        |   OR regexp_matches(path, '\b(viewcontent|article)\.cgi\?')
+        |   OR regexp_matches(path, '\b(attachment|download|file|document)\b')) AS is_likely_pdf
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzzplanted' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |words AS (SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM aug),
+        |sh AS (SELECT DISTINCT id, array_to_string(w[i + 1:i + 3], ' ') AS tok
+        |       FROM words, UNNEST(range(len(w) - 2)) AS t(i)
+        |       WHERE len(w) >= 3),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |pairs AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
+        |          FROM sh x JOIN sh y ON x.tok = y.tok AND x.id < y.id
+        |          GROUP BY x.id, y.id)
+        |SELECT a, b, shared, sa.n AS na, sb.n AS nb
+        |FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        |aug AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> x * 1.001::FLOAT) AS embedding
+        |  FROM base)
+        |SELECT x.vec_id AS a, y.vec_id AS b
+        |FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        |ORDER BY a, b""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subword
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_dist" ->
+      """SELECT lang, source, count(*) AS n, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
 }

@@ -1,0 +1,105 @@
+package graft.ml
+
+import graft.util.Hashing
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID
+  * (n-gram/stopword heuristic), quality scoring, token counting, document
+  * fingerprinting. All built from codegen'd builtins where possible; the
+  * rolling-hash fingerprint is the one UDF (stateful loop).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (split on single spaces, empties dropped). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => t =!= ""))
+
+  /** BPE-ish subword token estimate: alphabetic runs + digit runs + any
+    * other non-space character each count as one token.
+    */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Tiny per-language stopword lists for the heuristic language-ID. */
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "les", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "den", "ein"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** Heuristic language ID: pick the language whose stopword list overlaps
+    * the token set most (score ties break to the lexicographically-last
+    * language via struct ordering); zero evidence → "und" (undetermined).
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = array_distinct(split(lower(text), " "))
+    val scores = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score components (the standard cheap filters): length, mean
+    * word length, stopword ratio, punctuation ratio, uppercase ratio.
+    */
+  def qualityComponents(text: Column): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val n = size(toks)
+    val chars = length(text)
+    val allStops = array(StopwordsByLang.values.flatten.toSeq.distinct.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(transform(toks, t => lower(t))), allStops))
+    val punct = chars - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val upper = chars - length(regexp_replace(text, "[A-Z]", ""))
+    struct(
+      n.as("n_tokens"),
+      chars.as("n_chars"),
+      nStop.as("n_stopword_types"),
+      punct.as("n_punct"),
+      upper.as("n_upper"),
+      (chars.cast("double") / greatest(n, lit(1))).as("mean_token_len"))
+  }
+
+  /** Composite quality score in [0,1]: the mix of heuristics a pretraining
+    * cleaner would use (doc length band, stopword evidence, low punctuation
+    * noise). Deterministic, no model.
+    */
+  def qualityScore(text: Column): Column = {
+    val c = qualityComponents(text)
+    val lenOk = when(c.getField("n_tokens").between(5, 100000), 1.0d).otherwise(0.0d)
+    val stopOk = when(c.getField("n_stopword_types") >= 1, 1.0d).otherwise(0.0d)
+    val punctRatio = c.getField("n_punct").cast("double") /
+      greatest(c.getField("n_chars"), lit(1)).cast("double")
+    val punctOk = when(punctRatio <= 0.2d, 1.0d).otherwise(0.0d)
+    (lenOk + stopOk + punctOk) / lit(3.0d)
+  }
+
+  /** Polynomial rolling-hash fingerprint over the whitespace-normalized
+    * text (Rabin-Karp style, base 257 mod 2^64) — the classic document
+    * fingerprint primitive; stateful loop, hence a UDF.
+    */
+  val rollingFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+      var h = Hashing.FnvOffset
+      var i = 0
+      while (i < s.length) { h = h * 257L + s.charAt(i).toLong; i += 1 }
+      h
+    }
+
+  /** Winnowing fingerprint set: k-gram rolling hashes, minimum per window w
+    * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) — the near-dup fingerprint.
+    */
+  val winnowingFingerprints: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, k: Int, w: Int) =>
+      val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (s.length < k) Seq.empty[Long]
+      else {
+        val grams = (0 to s.length - k).map(i => Hashing.murmur3_64(s.substring(i, i + k), 7L))
+        grams.sliding(math.max(1, w)).map(_.min).toSeq.distinct
+      }
+    }
+}

@@ -80,4 +80,15 @@ object BlockedBloom {
       seqOp = (b, key) => { b.add(key); b },
       combOp = (a, b) => a.merge(b))
   }
+
+  /** Distributed build shaped to merge into `template` (same block count
+    * and k) — the incremental-update path: build the delta's filter on the
+    * executors, OR it into the driver-resident filter.
+    */
+  def buildLike(keys: Dataset[String], template: BlockedBloom): BlockedBloom = {
+    val (nb, k) = (template.numBlocks, template.k)
+    keys.rdd.treeAggregate(new BlockedBloom(new Array[Long](nb * 8), nb, k))(
+      seqOp = (b, key) => { b.add(key); b },
+      combOp = (a, b) => a.merge(b))
+  }
 }

@@ -55,7 +55,8 @@ final class CrawlEngine(
     storeRoot: String,
     batchSize: Int,
     saltShards: Int = 4,
-    bloomBitsPerKey: Int = 12) extends Serializable {
+    bloomBitsPerKey: Int = 12,
+    bloomExpectedKeys: Long = 1L << 20) extends Serializable {
 
   import spark.implicits._
 
@@ -76,11 +77,11 @@ final class CrawlEngine(
   @transient private var bloom: BlockedBloom = _
 
   private def initBloom(): Unit = if (bloom == null) {
-    val expected = math.max(1L << 16, seenT.currentSnapshot.map(_.rowCount * 4).getOrElse(0L))
+    val expected = math.max(bloomExpectedKeys,
+      seenT.currentSnapshot.map(_.rowCount * 4).getOrElse(0L))
     bloom = BlockedBloom.sized(expected, bloomBitsPerKey)
     seenT.read(spark).foreach { df =>
-      val built = BlockedBloom.build(df.select($"href").as[String], expected, bloomBitsPerKey)
-      bloom.merge(built)
+      bloom.merge(BlockedBloom.buildLike(df.select($"href").as[String], bloom))
     }
   }
 
@@ -240,8 +241,10 @@ final class CrawlEngine(
       "docs" -> nDocs)
 
     seenT.append(newLinks.select($"href", $"host"), round, counters)
-    // update the driver Bloom with this generation's new URLs
-    newLinks.select($"href").as[String].toLocalIterator().forEachRemaining(bloom.add)
+    // update the driver Bloom with this generation's new URLs: distributed
+    // per-partition build OR-merged via treeAggregate (never serialize the
+    // URL stream through the driver)
+    bloom.merge(BlockedBloom.buildLike(newLinks.select($"href").as[String], bloom))
     linksT.append(kept.toDF(), round)
     pdfT.append(pdfLinks.select($"href".as("url"), lit(round).as("generation")), round)
     eventsT.append(

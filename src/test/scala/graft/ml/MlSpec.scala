@@ -1,0 +1,124 @@
+package graft.ml
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 60 base docs (200 hash-random words each) + 6 planted near-dups (one
+    * appended token). Long docs keep the simhash bit-flip count of a
+    * 1-token edit small (P(bit flips) = P(sign count = 0) ≈ 0.056 → ~3.6 of
+    * 64 bits); random words keep cross-doc shingle overlap ≈ 0.
+    */
+  lazy val planted = {
+    val base = (0 until 60).map { i =>
+      val words = (0 until 200).map(j => s"w${graft.util.Hashing.bounded(graft.util.Hashing.det(5L, i, j), 400)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val dups = base.filter(_._1 % 10 == 0).map { case (id, t) => (id + 1000L, t + " zzz") }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+  val plantedPairs: Set[(Long, Long)] =
+    (0 until 60 by 10).map(i => (i.toLong, i + 1000L)).toSet
+
+  test("jaccard shingle pairs recover exactly the planted near-dups") {
+    val toks = TextDedup.shingleTokens(planted, 3)
+    val got = TextDedup.jaccardPairsFromTokens(toks, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == plantedPairs)
+  }
+
+  test("minhash LSH candidates contain all planted pairs, few extras") {
+    val got = TextDedup.minhashLshCandidates(planted)
+      .as[(Long, Long)].collect().toSet
+    assert(plantedPairs.subsetOf(got), s"missing: ${plantedPairs -- got}")
+    assert(got.size <= plantedPairs.size + 10, s"too many false candidates: ${got.size}")
+  }
+
+  test("simhash candidates find planted pairs with small hamming distance") {
+    val got = TextDedup.simhashCandidates(planted)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Int)].collect()
+    val close = got.filter(_._3 <= 8).map(t => (t._1, t._2)).toSet
+    assert(plantedPairs.subsetOf(close), s"missing: ${plantedPairs -- close}")
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = TextDedup.exactDups(df).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  lazy val vectors = {
+    val rows = (0 until 200).map { i =>
+      val v = (0 until 64).map(d =>
+        (graft.util.Hashing.det(9L, i, d).toDouble / Long.MaxValue).toFloat)
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dups via hyperplane LSH recover scaled copies exactly") {
+    val scaled = vectors.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val got = TextDedup.embeddingNearDups(vectors.unionByName(scaled), 0.95)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val want = (0 until 200 by 20).map(i => (i.toLong, i + 1000L)).toSet
+    assert(got == want)
+  }
+
+  test("LSH ANN has high recall vs exact brute-force top-k") {
+    val queries = vectors.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(vectors, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vectors, queries, 5, dim = 64, planes = 4, probes = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random uniform vectors are LSH's worst case (all similarities bunched
+    // near 0) — this bounds sanity, not production recall
+    assert(recall >= 0.25, f"ANN recall too low: $recall%.2f")
+    // exactness of what it does return: every ANN answer must be a real vector
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("text analysis: token counts, langid, quality, fingerprints") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "el perro y la casa de los gatos en madrid"),
+      (3L, "x"),
+      (4L, "der hund und die katze in den garten ein tag")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langIdHeuristic($"text").as("lang"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.rollingFingerprint($"text").as("fp"))
+      .as[(Long, Int, String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 9 && got(1L)._3 == "en")
+    assert(got(2L)._3 == "es")
+    assert(got(4L)._3 == "de")
+    assert(got(3L)._3 == "und") // no stopword evidence
+    assert(got(1L)._4 == 1.0 && got(3L)._4 < 1.0)
+    // fingerprint is deterministic and whitespace-normalized
+    val fp2 = df.filter($"doc_id" === 1)
+      .select(TextAnalysis.rollingFingerprint(concat($"text", lit("  ")))).as[Long].head()
+    assert(fp2 == got(1L)._5)
+  }
+
+  test("multimodal: batched stub decode is deterministic; video frames explode") {
+    val docs = Seq((1L, "video doc text here"), (2L, "another payload")).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text")).withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val media = Multimodal.syntheticMedia(docs)
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq, "batch size must not change decode output")
+    assert(f1.forall(_.feature.size == Multimodal.StubCodec.FeatureDim))
+    val frames = Multimodal.sampleFrames(Multimodal.decodeFeatures(media))
+    frames.collect().toSeq.groupBy(r => r.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted == rows.indices.toList)
+    }
+  }
+}
