@@ -37,8 +37,11 @@ object Bench {
     s
   }
 
-  private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): (Double, Long) = {
+  final case class CrawlResult(urlsPerSec: Double, seen: Long, candidatesPerSec: Double, wallSec: Double)
+
+  private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): CrawlResult = {
     val spark = session(cores)
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
     val engine = new CrawlEngine(spark, cfg, dir, batch,
       bloomExpectedKeys = 4L * nQueries * cfg.resultsPerPage * cfg.pages)
@@ -47,23 +50,28 @@ object Bench {
     engine.run(seeds)
     val secs = (System.nanoTime() - t0) / 1e9
     val seen = engine.seenT.currentSnapshot.map(_.rowCount).getOrElse(0L)
+    val candidates = engine.metricsT.read(spark)
+      .map(_.filter(org.apache.spark.sql.functions.col("key") === "candidates")
+        .agg(org.apache.spark.sql.functions.sum("value")).as[Long].head())
+      .getOrElse(0L)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    (seen / secs, seen)
+    CrawlResult(seen / secs, seen, candidates / secs, secs)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = sys.env.getOrElse("BENCH_LO_CPUS", "8").toInt
-    val nQueries = sys.env.getOrElse("BENCH_QUERIES", "1000").toInt
-    val batch = sys.env.getOrElse("BENCH_BATCH", "500").toInt
+    val nQueries = sys.env.getOrElse("BENCH_QUERIES", "3000").toInt
+    val batch = sys.env.getOrElse("BENCH_BATCH", "3000").toInt
     val cfg = WebConfig(
       seed = 42,
-      nHosts = sys.env.getOrElse("BENCH_HOSTS", "20000").toInt,
-      resultsPerPage = sys.env.getOrElse("BENCH_RPP", "150").toInt,
-      pages = sys.env.getOrElse("BENCH_PAGES", "2").toInt)
+      nHosts = sys.env.getOrElse("BENCH_HOSTS", "50000").toInt,
+      resultsPerPage = sys.env.getOrElse("BENCH_RPP", "400").toInt,
+      pages = sys.env.getOrElse("BENCH_PAGES", "1").toInt,
+      bodyElems = sys.env.getOrElse("BENCH_BODY_ELEMS", "40").toInt)
 
     // ---- per-query timings on the sf dir ----
     val spark = session(cpus)
@@ -77,13 +85,13 @@ object Bench {
     SparkSession.clearDefaultSession()
 
     // ---- crawl throughput at two parallelism levels (scaling evidence) ----
-    val (thrLo, _) = crawlBench(lo, nQueries, batch, cfg)
-    val (thrHi, seenHi) = crawlBench(cpus, nQueries, batch, cfg)
-    val efficiency = (thrHi / thrLo) / (cpus.toDouble / lo)
+    val loRes = crawlBench(lo, nQueries, batch, cfg)
+    val hiRes = crawlBench(cpus, nQueries, batch, cfg)
+    val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (cpus.toDouble / lo)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thrHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$cpus,"throughput_lo":$thrLo%.1f,"throughput_hi":$thrHi%.1f,"scaling_efficiency":$efficiency%.3f,"urls_seen":$seenHi,"queries":$nQueries,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${cfg.nHosts}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$cpus,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"urls_seen":${hiRes.seen},"queries":$nQueries,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${cfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }

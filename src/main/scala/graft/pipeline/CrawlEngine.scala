@@ -56,7 +56,8 @@ final class CrawlEngine(
     batchSize: Int,
     saltShards: Int = 4,
     bloomBitsPerKey: Int = 12,
-    bloomExpectedKeys: Long = 1L << 20) extends Serializable {
+    bloomExpectedKeys: Long = 1L << 20,
+    hotHostCount: Int = 8) extends Serializable {
 
   import spark.implicits._
 
@@ -75,6 +76,16 @@ final class CrawlEngine(
     * table on startup (resume), incrementally extended per generation.
     */
   @transient private var bloom: BlockedBloom = _
+
+  /** Exact cuckoo tier for hot hosts (north rule): the top-k hosts by
+    * frontier mass this generation keep a per-host cuckoo filter whose
+    * NEGATIVE answers are exact (while unsaturated) — their high-collision
+    * URL traffic routes around both the Bloom's false positives and the
+    * anti-join shuffle. Built lazily per host from the seen table, extended
+    * with each generation's new URLs; delete support is what distinguishes
+    * the cuckoo from the Bloom tier (eviction/re-crawl workflows).
+    */
+  @transient private var cuckoos: Map[String, graft.operators.CuckooFilter] = Map.empty
 
   private def initBloom(): Unit = if (bloom == null) {
     val expected = math.max(bloomExpectedKeys,
@@ -160,14 +171,44 @@ final class CrawlEngine(
     val firstSeen = candidates.toDF()
       .withColumn("rn", row_number().over(wHref)).filter($"rn" === 1).drop("rn")
 
-    // ---- D1/J2: Bloom-routed exact anti-join vs the seen table ---------
+    // ---- D1/J2: tiered routing (cuckoo hot tier → Bloom → exact anti-join)
+    // Hot hosts this generation = top-k by candidate mass; ensure each has
+    // a cuckoo filter seeded from the seen table (lazy, cached across
+    // generations). Routing never decides membership positively: any
+    // "maybe seen" goes through the exact anti-join, so FPs cost a shuffled
+    // row, never a dropped URL.
+    val hotNow = candidates.toDF().groupBy($"host").count()
+      .orderBy($"count".desc, $"host").limit(hotHostCount)
+      .select($"host").as[String].collect().toSet
+    val missing = hotNow -- cuckoos.keySet
+    if (missing.nonEmpty) {
+      val seedRows: Map[String, Array[String]] = seenT.read(spark) match {
+        case None => Map.empty
+        case Some(seenDf) =>
+          seenDf.filter($"host".isin(missing.toSeq: _*))
+            .select($"host", $"href").as[(String, String)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      }
+      cuckoos = cuckoos ++ missing.map { h =>
+        val urls = seedRows.getOrElse(h, Array.empty[String])
+        val cf = graft.operators.CuckooFilter.sized(math.max(1024L, urls.length * 4L))
+        urls.foreach(cf.insert)
+        h -> cf
+      }
+    }
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((href: String) => bloomBc.value.mightContain(href))
+    val cuckooBc = spark.sparkContext.broadcast(cuckoos)
+    val mightContain = udf { (href: String, host: String) =>
+      cuckooBc.value.get(host) match {
+        case Some(cf) if cf.negativesAreExact => cf.contains(href)
+        case _ => bloomBc.value.mightContain(href)
+      }
+    }
     val newLinks = (seenT.read(spark) match {
       case None => firstSeen
       case Some(seenDf) =>
-        val defNew = firstSeen.filter(!mightContain($"href"))
-        val maybe = firstSeen.filter(mightContain($"href"))
+        val defNew = firstSeen.filter(!mightContain($"href", $"host"))
+        val maybe = firstSeen.filter(mightContain($"href", $"host"))
           .join(seenDf.select($"href"), Seq("href"), "left_anti")
         defNew.unionByName(maybe)
     }).persist(StorageLevel.MEMORY_AND_DISK)
@@ -245,6 +286,14 @@ final class CrawlEngine(
     // per-partition build OR-merged via treeAggregate (never serialize the
     // URL stream through the driver)
     bloom.merge(BlockedBloom.buildLike(newLinks.select($"href").as[String], bloom))
+    // cuckoo invariant: each hot-host filter must stay a SUPERSET of that
+    // host's seen URLs or its exact-negative claim breaks — insert this
+    // generation's new URLs for tracked hosts (bounded: hot hosts only)
+    if (cuckoos.nonEmpty) {
+      newLinks.filter($"host".isin(cuckoos.keySet.toSeq: _*))
+        .select($"host", $"href").as[(String, String)].collect()
+        .foreach { case (h, u) => cuckoos(h).insert(u) }
+    }
     linksT.append(kept.toDF(), round)
     pdfT.append(pdfLinks.select($"href".as("url"), lit(round).as("generation")), round)
     eventsT.append(

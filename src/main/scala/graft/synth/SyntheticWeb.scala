@@ -20,7 +20,8 @@ final case class WebConfig(
     resultsPerPage: Int = 10,
     pages: Int = 1, // config.yaml:22 ships pages=1 (pageno bug invisible)
     fetchFailRate: Double = 0.04,
-    relevantRate: Double = 0.75)
+    relevantRate: Double = 0.75,
+    bodyElems: Int = 12) // max body elements per page (bench raises this)
 
 object SyntheticWeb {
 
@@ -170,7 +171,7 @@ object SyntheticWeb {
     out += s"<title>$title</title>"
     if (toUnit(det(h0, "hasmeta")) < 0.7)
       out += s"""<meta name="description" content="${words(det(h0, "meta"), 8)}">"""
-    val nBody = 4 + bounded(det(h0, "nbody"), 9)
+    val nBody = 4 + bounded(det(h0, "nbody"), math.max(1, cfg.bodyElems - 3))
     var lastWasList = false
     var i = 0
     while (i < nBody) {
