@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.model.FetchEvent
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class FetchStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic fetch log: 3 hosts, one with planted violations. */
+  private def events: Seq[FetchEvent] =
+    (0 until 40).map { i =>
+      val host = s"host${i % 3}.example"
+      val delay = 100L * (1 + i % 3)
+      // hostN fetches every `delay+50` ms except host0 which double-fires
+      val t = if (i % 3 == 0 && i % 6 == 0) (i / 3) * 150L + 10L else (i / 3) * 150L + 100L
+      FetchEvent(s"https://$host/p$i", host, 0, t, delay, 1)
+    }
+
+  test("streamed windowed host counts equal the batch aggregation") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    events.toDS().toDF().coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = FetchStream.fetchEventStream(spark, dir)
+    val agg = FetchStream.windowedHostCounts(stream)
+    val qname = s"host_counts_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table(qname)
+      .select($"window_start", $"host", $"n_fetches")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = events.toDS().toDF()
+      .withColumn("event_time", timestamp_millis($"scheduled_ms"))
+      .groupBy(window($"event_time", "1 minute"), $"host")
+      .agg(count(lit(1)).as("n_fetches"))
+      .select($"window.start".as("window_start"), $"host", $"n_fetches")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful politeness audit flags exactly the planted violations") {
+    val ds = events.toDS()
+    val violations = FetchStream.politenessAudit(ds).collect().toSeq
+    // recompute expected sequentially
+    val expected = events.groupBy(_.host).toSeq.flatMap { case (h, evs) =>
+      val sorted = evs.sortBy(e => (e.scheduled_ms, e.url))
+      sorted.zip(sorted.drop(1)).collect {
+        case (a, b) if b.scheduled_ms - a.scheduled_ms < b.min_delay_ms =>
+          (h, a.scheduled_ms, b.scheduled_ms)
+      }
+    }.toSet
+    assert(violations.map(v => (v.host, v.prev_ms, v.cur_ms)).toSet == expected)
+    assert(expected.nonEmpty, "fixture must plant violations")
+  }
+}
