@@ -231,9 +231,12 @@ object SparkEntry {
     }),
 
     // ---------------- document fingerprinting (rows-only) ----------------
+    // rolling_fingerprint is a native codegen'd Catalyst Expression
+    // (graft.functions.expressions), not a UDF — stays in whole-stage codegen
     "q_fingerprint" -> ((s, dir) => {
+      graft.functions.expressions.GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"),
+        expr("rolling_fingerprint(text)").as("fingerprint"),
         size(TextAnalysis.winnowingFingerprints(col("text"), lit(8), lit(4))).as("n_winnow"))
         .orderBy(col("doc_id"))
     }),

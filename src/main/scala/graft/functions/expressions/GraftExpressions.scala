@@ -1,0 +1,64 @@
+package graft.functions.expressions
+
+import graft.util.Hashing
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's scalar hot paths — the
+  * upgrade path the task prescribes over Scala UDFs: a codegen'd
+  * `Expression` stays inside whole-stage codegen (no ScalaUDF
+  * serialization/row-boxing boundary).
+  *
+  * `RollingFingerprintExpr` is the document fingerprint (whitespace-
+  * normalized Rabin-Karp polynomial over FNV offset basis — identical
+  * semantics to TextAnalysis.rollingFingerprint's UDF, shared static
+  * kernel). doGenCode emits a direct static call, the same pattern Spark's
+  * own hash expressions use.
+  */
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingFingerprintExpr.fingerprint(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.RollingFingerprintExpr.fingerprint($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+    copy(child = newChild)
+}
+
+object RollingFingerprintExpr {
+  /** Shared kernel (interpreted eval, codegen, and the legacy UDF all call
+    * this): normalize whitespace+case, then h = h*257 + c over FNV offset.
+    */
+  def fingerprint(text: String): Long = {
+    val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+    var h = Hashing.FnvOffset
+    var i = 0
+    while (i < s.length) { h = h * 257L + s.charAt(i).toLong; i += 1 }
+    h
+  }
+}
+
+/** Registration of graft native functions into a session's function
+  * registry — callable from SQL and via expr("..."); usable with
+  * SparkSessionExtensions.injectFunction for spark-submit deployments.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "built-in")
+  }
+}

@@ -83,11 +83,7 @@ object TextAnalysis {
     */
   val rollingFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
-      var h = Hashing.FnvOffset
-      var i = 0
-      while (i < s.length) { h = h * 257L + s.charAt(i).toLong; i += 1 }
-      h
+      graft.functions.expressions.RollingFingerprintExpr.fingerprint(text)
     }
 
   /** Winnowing fingerprint set: k-gram rolling hashes, minimum per window w

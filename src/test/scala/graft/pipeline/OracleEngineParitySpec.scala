@@ -121,6 +121,16 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(eng2.seenSet() == seenBefore && eng2.docs().size == docsBefore)
   }
 
+  test("mega-host salting: saltShards=8 changes physical partitioning only, not results") {
+    val dir = tempDir("salt")
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, dir, batchSize, saltShards = 8)
+    eng.run(seeds)
+    assert(eng.seenSet() == oracle.seen)
+    assert(eng.crawlOrder() == oracle.crawlOrder)
+    assert(eng.docs().map(d => d.doc_id -> d.spans).toMap ==
+      oracle.docs.map(d => d.doc_id -> d.spans).toMap)
+  }
+
   test("politeness invariant: consecutive fetches per host spaced >= min_delay") {
     val byHost = oracle.fetchEvents.groupBy(_.host)
     byHost.foreach { case (host, evs) =>
