@@ -44,7 +44,8 @@ object Bench {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
     val engine = new CrawlEngine(spark, cfg, dir, batch,
-      bloomExpectedKeys = 4L * nQueries * cfg.resultsPerPage * cfg.pages)
+      bloomExpectedKeys = 4L * nQueries * cfg.resultsPerPage * cfg.pages,
+      expandTopK = sys.env.getOrElse("BENCH_EXPAND_TOPK", "0").toInt)
     val seeds = (1 to nQueries).map(i => s"singapore topic $i query")
     val t0 = System.nanoTime()
     engine.run(seeds)

@@ -31,7 +31,8 @@ object CrawlMain {
 
     val cfg = WebConfig(seed = 42, nHosts = nHosts)
     val seeds = (1 to nQueries).map(i => s"singapore topic $i query")
-    val engine = new CrawlEngine(spark, cfg, storeDir, batchSize)
+    val expandTopK = args.lift(5).map(_.toInt).getOrElse(0)
+    val engine = new CrawlEngine(spark, cfg, storeDir, batchSize, expandTopK = expandTopK)
 
     val t0 = System.nanoTime()
     val rounds = engine.run(seeds)

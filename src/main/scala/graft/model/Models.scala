@@ -85,7 +85,8 @@ final case class HostProfile(
 
 /** Per-host fetch event emitted by the politeness scheduler; virtual-clock
   * timestamps make the politeness invariant (consecutive fetches on a host
-  * >= min_delay) testable without wall time.
+  * >= min_delay) testable without wall time. phase: 0 = search-driven,
+  * 1 = frontier expansion (link-driven).
   */
 final case class FetchEvent(
     url: String,
@@ -93,7 +94,13 @@ final case class FetchEvent(
     salt: Int,
     scheduled_ms: Long,
     min_delay_ms: Long,
-    round: Int)
+    round: Int,
+    phase: Int)
+
+/** Priority-frontier row: a link discovered on a fetched page, awaiting a
+  * per-host top-k pick (north rule: host-hash partitioned, score-ordered).
+  */
+final case class FrontierLink(url: String, host: String, score: Double, discovered_gen: Int)
 
 /** Per-generation, per-partition lineage + counters (north rule). */
 final case class PartitionMetrics(

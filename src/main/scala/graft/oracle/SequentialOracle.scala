@@ -59,7 +59,8 @@ object SequentialOracle {
           maxRounds: Int = Int.MaxValue,
           alreadyProcessed: Set[String] = Set.empty,
           initialSeen: Set[String] = Set.empty,
-          initialNextFree: Map[String, Long] = Map.empty): OracleResult = {
+          initialNextFree: Map[String, Long] = Map.empty,
+          expandTopK: Int = 0): OracleResult = {
 
     // S1/S2/P1/D2: seed load, blank filter, tracker anti-join (order kept)
     var remaining: Vector[String] =
@@ -68,6 +69,8 @@ object SequentialOracle {
 
     val seen = mutable.LinkedHashSet.empty[String] ++ initialSeen
     val nextFree = mutable.Map.empty[String, Long] ++ initialNextFree
+    // priority frontier (north-rule addition): url -> (host, score)
+    val frontier = mutable.LinkedHashMap.empty[String, (String, Double)]
     val crawlOrder = Vector.newBuilder[String]
     val docs = Vector.newBuilder[PageDoc]
     val images = Vector.newBuilder[OracleImage]
@@ -76,6 +79,7 @@ object SequentialOracle {
     val allLinks = Vector.newBuilder[Link]
     val processed = Vector.newBuilder[String]
     var added = 0L; var skipped = 0L; var fetched = 0L; var robotsBlocked = 0L
+    var expanded = 0L
 
     var round = 0
     while (remaining.nonEmpty && round < maxRounds) {
@@ -124,24 +128,42 @@ object SequentialOracle {
       pdfs ++= confirmed
       val htmlUrls = sgUrls.filterNot(confirmedSet)
 
+      // ---- phase B selection: priority-frontier expansion (north rule) ----
+      // per host: not-yet-seen, robots-allowed frontier links, top-K by
+      // (score desc, url). Picks enter the seen set at pick time.
+      val picks: Seq[(String, String)] = if (expandTopK <= 0) Seq.empty else {
+        frontier.iterator
+          .filterNot { case (u, _) => seen.contains(u) }
+          .filter { case (u, _) => SyntheticWeb.robotsAllows(cfg, u) }
+          .toSeq.groupBy(_._2._1).toSeq.sortBy(_._1)
+          .flatMap { case (host, entries) =>
+            entries.sortBy { case (u, (_, score)) => (-score, u) }
+              .take(expandTopK).map { case (u, (h, _)) => (u, h) }
+          }
+      }
+      picks.foreach { case (u, _) => seen += u; frontier.remove(u) }
+      expanded += picks.size
+
       // ---- politeness schedule (north-rule; engine-defined semantics) ----
       // robots gate, then per-host slots: j-th URL of host h this round is
-      // scheduled at nextFree(h) + j*minDelay(h); arrival order within host
-      // = run-file order (ArrivalKey order).
+      // scheduled at nextFree(h) + j*minDelay(h); per-host arrival order =
+      // phase A (run-file / ArrivalKey order) then phase B (score order).
       val allowed = htmlUrls.filter { u =>
         val ok = SyntheticWeb.robotsAllows(cfg, u)
         if (!ok) robotsBlocked += 1
         ok
       }
+      val toSchedule: Seq[(String, Int)] =
+        allowed.map(u => (u, 0)) ++ picks.map { case (u, _) => (u, 1) }
       val slotIdx = mutable.Map.empty[String, Long]
-      val scheduled = allowed.map { u =>
+      val scheduled = toSchedule.map { case (u, phase) =>
         val host = UrlFunctions.hostOf(u)
         val rank = SyntheticWeb.hostRankOf(host)
         val delay = SyntheticWeb.minDelayMs(cfg, rank)
         val j = slotIdx.getOrElse(host, 0L)
         slotIdx.update(host, j + 1)
         val t = nextFree.getOrElse(host, 0L) + j * delay
-        FetchEvent(u, host, 0, t, delay, round)
+        FetchEvent(u, host, 0, t, delay, round, phase)
       }
       scheduled.groupBy(_.host).foreach { case (host, evs) =>
         val rank = SyntheticWeb.hostRankOf(host)
@@ -153,7 +175,7 @@ object SequentialOracle {
       events ++= ordered
       crawlOrder ++= ordered.map(_.url)
 
-      // ---- fetch + span extraction (S6 + G1/G2/G5) ----
+      // ---- fetch + span extraction (S6 + G1/G2/G5) + link discovery ----
       ordered.foreach { ev =>
         SyntheticWeb.fetch(cfg, ev.url) match {
           case None => () // scraper.py:293-294: fetch failure → no outputs
@@ -165,6 +187,10 @@ object SequentialOracle {
             images ++= ex.images.map(r => OracleImage(r.image_url, ev.url,
               ex.pageTitle, r.alt_text, r.title_attribute, r.raw_caption,
               ex.pageSummary, round))
+            if (expandTopK > 0) ex.links.foreach { case (_, u) =>
+              if (u.startsWith("http") && !seen.contains(u) && !frontier.contains(u))
+                frontier.update(u, (UrlFunctions.hostOf(u), SyntheticWeb.linkScore(cfg, u)))
+            }
         }
       }
 
@@ -175,7 +201,7 @@ object SequentialOracle {
     OracleResult(crawlOrder.result(), seen.toSet, docs.result(), images.result(), pdfs.result(),
       events.result(), allLinks.result(),
       Map("added" -> added, "skipped" -> skipped, "fetched" -> fetched,
-        "robots_blocked" -> robotsBlocked),
+        "robots_blocked" -> robotsBlocked, "expanded" -> expanded),
       processed.result())
   }
 }

@@ -57,7 +57,8 @@ final class CrawlEngine(
     saltShards: Int = 4,
     bloomBitsPerKey: Int = 12,
     bloomExpectedKeys: Long = 1L << 20,
-    hotHostCount: Int = 8) extends Serializable {
+    hotHostCount: Int = 8,
+    expandTopK: Int = 0) extends Serializable {
 
   import spark.implicits._
 
@@ -71,6 +72,7 @@ final class CrawlEngine(
   @transient val hostStateT: SnapshotTable = store.table("host_state")
   @transient val metricsT: SnapshotTable = store.table("metrics")
   @transient val eventsT: SnapshotTable = store.table("fetch_events")
+  @transient val frontierT: SnapshotTable = store.table("frontier")
 
   /** Driver-resident Bloom prefilter over the seen table; rebuilt from the
     * table on startup (resume), incrementally extended per generation.
@@ -104,9 +106,8 @@ final class CrawlEngine(
     */
   def rollbackPartial(): Unit = {
     val committed = lastCommittedGeneration
-    Seq(seenT, linksT, docsT, imagesT, pdfT, hostStateT, metricsT, eventsT).foreach { t =>
-      t.rollbackToGeneration(committed)
-    }
+    Seq(seenT, linksT, docsT, imagesT, pdfT, hostStateT, metricsT, eventsT, frontierT)
+      .foreach(_.rollbackToGeneration(committed))
   }
 
   def processedQueries(): Set[String] =
@@ -226,14 +227,46 @@ final class CrawlEngine(
     val pdfLinks = kept.filter(isPdf)
     val htmlLinks = kept.filter(!isPdf)
 
-    // ---- T4: robots gate + per-host politeness schedule ----------------
+    // ---- O5: priority-frontier expansion picks (north rule) ------------
+    // per-host top-K not-yet-seen, robots-allowed frontier links by
+    // (score desc, url): hash(host) partitioning + in-partition sort — no
+    // global ordering anywhere.
     val robotsOk = udf((u: String) => SyntheticWeb.robotsAllows(webCfg, u))
+    val emptyFrontier = Seq.empty[(String, String, Double, Int)]
+      .toDF("url", "host", "score", "discovered_gen")
+    val oldFrontier = frontierT.read(spark).getOrElse(emptyFrontier)
+    val picks = if (expandTopK <= 0) {
+      emptyFrontier.select($"url".as("href"), $"host", $"score")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    } else {
+      val seenAll = (seenT.read(spark) match {
+        case Some(s) => s.select($"href")
+        case None => Seq.empty[String].toDF("href")
+      }).unionByName(newLinks.select($"href"))
+      val wFrontier = Window.partitionBy($"host").orderBy($"score".desc, $"url")
+      oldFrontier
+        .join(seenAll.withColumnRenamed("href", "url"), Seq("url"), "left_anti")
+        .filter(robotsOk($"url"))
+        .withColumn("rn", row_number().over(wFrontier)).filter($"rn" <= expandTopK)
+        .select($"url".as("href"), $"host", $"score")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nExpanded = picks.count()
+
+    // ---- T4: robots gate + per-host politeness schedule (both phases) ---
+    // per-host order: phase 0 (ArrivalKey order) then phase 1 (score order)
     val minDelayOf = udf((host: String) => SyntheticWeb.minDelayMs(webCfg, SyntheticWeb.hostRankOf(host)))
     val allowed = htmlLinks.filter(robotsOk($"href"))
     val hostState = hostStateT.read(spark)
       .getOrElse(Seq.empty[(String, Long)].toDF("host", "next_free_ms"))
-    val wHost = Window.partitionBy($"host").orderBy(arrival: _*)
-    val sched = allowed
+    val phaseA = allowed.select($"href", $"host", lit(0).as("phase"),
+      $"kind", $"query_rank", $"page", $"result_rank", lit(0.0d).as("neg_score"))
+    val phaseB = picks.select($"href", $"host", lit(1).as("phase"),
+      lit(0).as("kind"), lit(0).as("query_rank"), lit(0).as("page"),
+      lit(0).as("result_rank"), (-$"score").as("neg_score"))
+    val wHost = Window.partitionBy($"host").orderBy(
+      $"phase", $"kind", $"query_rank", $"page", $"result_rank", $"neg_score", $"href")
+    val sched = phaseA.unionByName(phaseB)
       .join(broadcast(hostState), Seq("host"), "left")
       .na.fill(0L, Seq("next_free_ms"))
       .withColumn("slot", row_number().over(wHost) - lit(1))
@@ -244,11 +277,11 @@ final class CrawlEngine(
     val nScheduled = sched.count()
     val nRobotsBlocked = {
       val htmlCount = nKept - pdfLinks.count()
-      htmlCount - nScheduled
+      htmlCount + nExpanded - nScheduled
     }
 
-    // ---- S6/G1/G2/G5: salted fetch + interleaved span extraction -------
-    val fetched: Dataset[(PageDoc, Seq[SequentialOracle.OracleImage])] = sched
+    // ---- S6/G1/G2/G5: salted fetch + span extraction + link discovery ---
+    val fetched: Dataset[(PageDoc, Seq[SequentialOracle.OracleImage], Seq[String])] = sched
       .select($"href", $"host", $"salt", $"scheduled_ms")
       .repartition(nPart, $"host", $"salt")
       .sortWithinPartitions($"scheduled_ms") // politeness order within shard
@@ -263,7 +296,9 @@ final class CrawlEngine(
               ex.images.map(r => SequentialOracle.OracleImage(
                 r.image_url, url, ex.pageTitle, r.alt_text, r.title_attribute,
                 r.raw_caption, ex.pageSummary, round))
-            (doc, imgs)
+            val outLinks: Seq[String] =
+              ex.links.collect { case (_, u) if u.startsWith("http") => u }
+            (doc, imgs, outLinks)
           }
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -277,20 +312,25 @@ final class CrawlEngine(
       "skipped" -> (nCandidates - nNew),
       "new" -> nNew,
       "added" -> nKept,
+      "expanded" -> nExpanded,
       "scheduled" -> nScheduled,
       "robots_blocked" -> nRobotsBlocked,
       "docs" -> nDocs)
 
-    seenT.append(newLinks.select($"href", $"host"), round, counters)
+    // this generation's seen delta: search-phase winners + frontier picks
+    val seenDelta = newLinks.select($"href", $"host")
+      .unionByName(picks.select($"href", $"host"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    seenT.append(seenDelta, round, counters)
     // update the driver Bloom with this generation's new URLs: distributed
     // per-partition build OR-merged via treeAggregate (never serialize the
     // URL stream through the driver)
-    bloom.merge(BlockedBloom.buildLike(newLinks.select($"href").as[String], bloom))
+    bloom.merge(BlockedBloom.buildLike(seenDelta.select($"href").as[String], bloom))
     // cuckoo invariant: each hot-host filter must stay a SUPERSET of that
     // host's seen URLs or its exact-negative claim breaks — insert this
     // generation's new URLs for tracked hosts (bounded: hot hosts only)
     if (cuckoos.nonEmpty) {
-      newLinks.filter($"host".isin(cuckoos.keySet.toSeq: _*))
+      seenDelta.filter($"host".isin(cuckoos.keySet.toSeq: _*))
         .select($"host", $"href").as[(String, String)].collect()
         .foreach { case (h, u) => cuckoos(h).insert(u) }
     }
@@ -298,7 +338,24 @@ final class CrawlEngine(
     pdfT.append(pdfLinks.select($"href".as("url"), lit(round).as("generation")), round)
     eventsT.append(
       sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
-        $"min_delay_ms", lit(round).as("round")), round)
+        $"min_delay_ms", lit(round).as("round"), $"phase"), round)
+
+    // ---- frontier maintenance: (old - picked) + new discoveries ---------
+    if (expandTopK > 0) {
+      val scoreOf = udf((u: String) => SyntheticWeb.linkScore(webCfg, u))
+      val seenNow = seenT.read(spark).get.select($"href".as("url"))
+      val discoveries = fetched.flatMap(_._3).toDF("url").distinct()
+        .join(seenNow, Seq("url"), "left_anti")
+        .join(oldFrontier.select($"url"), Seq("url"), "left_anti")
+        .withColumn("host", regexp_extract(lower($"url"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+        .withColumn("score", scoreOf($"url"))
+        .withColumn("discovered_gen", lit(round))
+        .select($"url", $"host", $"score", $"discovered_gen")
+      val newFrontier = oldFrontier
+        .join(picks.select($"href".as("url")), Seq("url"), "left_anti")
+        .unionByName(discoveries)
+      frontierT.replace(newFrontier, round)
+    }
     // host_state: untouched hosts keep state; scheduled hosts advance
     val updatedState = sched.groupBy($"host")
       .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free_ms"))
@@ -311,7 +368,8 @@ final class CrawlEngine(
     processedT.append(batch.zipWithIndex.toDF("query", "query_rank")
       .withColumn("generation", lit(round)), round) // commit point
 
-    Seq(candidates, newLinks, kept, sched, fetched).foreach(_.unpersist())
+    Seq[Dataset[_]](candidates, newLinks, kept, picks, sched, fetched, seenDelta)
+      .foreach(_.unpersist())
     counters
   }
 

@@ -216,4 +216,10 @@ object SyntheticWeb {
   }
 
   def docId(url: String): String = f"${murmur3_64(url, 0L)}%016x"
+
+  /** Deterministic frontier priority score in [0,1) for a discovered link —
+    * the stand-in for PageRank-ish signals; pure function of the URL so the
+    * oracle and the engine agree without coordination.
+    */
+  def linkScore(cfg: WebConfig, url: String): Double = toUnit(det(cfg.seed, "score", url))
 }

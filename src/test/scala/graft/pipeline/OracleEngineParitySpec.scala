@@ -131,6 +131,26 @@ class OracleEngineParitySpec extends AnyFunSuite {
       oracle.docs.map(d => d.doc_id -> d.spans).toMap)
   }
 
+  test("priority-frontier expansion: engine matches the oracle with expandTopK=3") {
+    val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, tempDir("expand"),
+      batchSize, expandTopK = 3)
+    eng.run(seeds)
+    assert(oracleExp.counters("expanded") > 0, "fixture must actually expand links")
+    assert(eng.seenSet() == oracleExp.seen)
+    assert(eng.crawlOrder() == oracleExp.crawlOrder)
+    val engDocs = eng.docs().map(d => d.doc_id -> d.spans).toMap
+    assert(engDocs == oracleExp.docs.map(d => d.doc_id -> d.spans).toMap)
+    // expansion must have produced docs beyond the search-driven set
+    assert(oracleExp.docs.size > oracle.docs.size)
+    // frontier table and oracle frontier agree on what remains unpicked:
+    // everything in the final frontier is unseen
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val frontierUrls = eng.frontierT.read(spark).get.select($"url").as[String].collect().toSet
+    assert(frontierUrls.intersect(oracleExp.seen).isEmpty)
+  }
+
   test("politeness invariant: consecutive fetches per host spaced >= min_delay") {
     val byHost = oracle.fetchEvents.groupBy(_.host)
     byHost.foreach { case (host, evs) =>

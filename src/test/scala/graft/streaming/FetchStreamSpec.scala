@@ -19,7 +19,7 @@ class FetchStreamSpec extends AnyFunSuite {
       val delay = 100L * (1 + i % 3)
       // hostN fetches every `delay+50` ms except host0 which double-fires
       val t = if (i % 3 == 0 && i % 6 == 0) (i / 3) * 150L + 10L else (i / 3) * 150L + 100L
-      FetchEvent(s"https://$host/p$i", host, 0, t, delay, 1)
+      FetchEvent(s"https://$host/p$i", host, 0, t, delay, 1, 0)
     }
 
   test("streamed windowed host counts equal the batch aggregation") {
