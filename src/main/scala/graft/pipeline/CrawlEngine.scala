@@ -74,6 +74,26 @@ final class CrawlEngine(
   @transient val eventsT: SnapshotTable = store.table("fetch_events")
   @transient val frontierT: SnapshotTable = store.table("frontier")
 
+  /** Synthetic robots/politeness host-profile table, broadcast to every
+    * generation (north rule: robots rules evaluated from a host table
+    * joined on host, not per-row callbacks). nHosts rows — always a BHJ.
+    */
+  @transient private lazy val hostProfilesDf: DataFrame = {
+    import spark.implicits._
+    SyntheticWeb.allHosts(cfg).toDF()
+      .select($"host", $"min_delay_ms", $"robots_disallow")
+  }
+
+  /** robots gate as a codegen'd higher-order predicate over the joined
+    * disallow-prefix array (no UDF): allowed iff no disallow prefix matches
+    * the URL path.
+    */
+  private def robotsAllowedCol(urlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val path = regexp_extract(urlCol, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    !exists(coalesce(col("robots_disallow"), array()),
+      p => startswith(path, p))
+  }
+
   /** Driver-resident Bloom prefilter over the seen table; rebuilt from the
     * table on startup (resume), incrementally extended per generation.
     */
@@ -231,7 +251,6 @@ final class CrawlEngine(
     // per-host top-K not-yet-seen, robots-allowed frontier links by
     // (score desc, url): hash(host) partitioning + in-partition sort — no
     // global ordering anywhere.
-    val robotsOk = udf((u: String) => SyntheticWeb.robotsAllows(webCfg, u))
     val emptyFrontier = Seq.empty[(String, String, Double, Int)]
       .toDF("url", "host", "score", "discovered_gen")
     val oldFrontier = frontierT.read(spark).getOrElse(emptyFrontier)
@@ -246,7 +265,8 @@ final class CrawlEngine(
       val wFrontier = Window.partitionBy($"host").orderBy($"score".desc, $"url")
       oldFrontier
         .join(seenAll.withColumnRenamed("href", "url"), Seq("url"), "left_anti")
-        .filter(robotsOk($"url"))
+        .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow")), Seq("host"), "left")
+        .filter(robotsAllowedCol($"url")).drop("robots_disallow")
         .withColumn("rn", row_number().over(wFrontier)).filter($"rn" <= expandTopK)
         .select($"url".as("href"), $"host", $"score")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -254,9 +274,11 @@ final class CrawlEngine(
     val nExpanded = picks.count()
 
     // ---- T4: robots gate + per-host politeness schedule (both phases) ---
-    // per-host order: phase 0 (ArrivalKey order) then phase 1 (score order)
-    val minDelayOf = udf((host: String) => SyntheticWeb.minDelayMs(webCfg, SyntheticWeb.hostRankOf(host)))
-    val allowed = htmlLinks.filter(robotsOk($"href"))
+    // per-host order: phase 0 (ArrivalKey order) then phase 1 (score order);
+    // robots + min-delay both come from the broadcast host-profile join
+    val allowed = htmlLinks
+      .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow")), Seq("host"), "left")
+      .filter(robotsAllowedCol($"href")).drop("robots_disallow")
     val hostState = hostStateT.read(spark)
       .getOrElse(Seq.empty[(String, Long)].toDF("host", "next_free_ms"))
     val phaseA = allowed.select($"href", $"host", lit(0).as("phase"),
@@ -270,7 +292,7 @@ final class CrawlEngine(
       .join(broadcast(hostState), Seq("host"), "left")
       .na.fill(0L, Seq("next_free_ms"))
       .withColumn("slot", row_number().over(wHost) - lit(1))
-      .withColumn("min_delay_ms", minDelayOf($"host"))
+      .join(broadcast(hostProfilesDf.select($"host", $"min_delay_ms")), Seq("host"), "left")
       .withColumn("scheduled_ms", $"next_free_ms" + $"slot" * $"min_delay_ms")
       .withColumn("salt", pmod(xxhash64($"href"), lit(saltShards)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
