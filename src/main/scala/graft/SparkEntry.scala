@@ -207,6 +207,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---------------- similarity search: IVF-cell ANN (rows-only) ----------------
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---------------- text analysis: token statistics ----------------
     "q_text_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),

@@ -52,6 +52,53 @@ object Similarity {
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce((a, b) => a + b)
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells by
+    * nearest seeded centroid; a query exact-ranks only the `nprobe` nearest
+    * cells. Centroids here are a deterministic corpus sample (IVF-flat with
+    * sampled codebook — at real scale the codebook comes from k-means, the
+    * assignment/probe plan is identical). Cell assignment is a codegen'd
+    * argmin over literal centroid arrays — no UDF; the probe join shuffles
+    * on cell id only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic codebook: the nlist corpus vectors with smallest
+    // hash(id) — a seeded sample, stable under partitioning
+    import org.apache.spark.sql.functions.{col => c}
+    val sampled = corpus
+      .select(c(idCol).as("cid"), c(vecCol).as("cvec"), xxhash64(c(idCol)).as("h"))
+      .orderBy("h").limit(nlist)
+      .select("cid", "cvec").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    require(sampled.nonEmpty, "corpus must be non-empty")
+
+    def distTo(vec: Column, centroid: Array[Float]): Column = {
+      val lits = array(centroid.map(v => lit(v.toDouble)): _*)
+      aggregate(zip_with(vec, lits, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0d), (acc, x) => acc + x)
+    }
+    /** cells ranked by distance: array of struct(dist, cell) sorted asc. */
+    def rankedCells(vec: Column): Column =
+      array_sort(array(sampled.zipWithIndex.map { case (cen, i) =>
+        struct(distTo(vec, cen).as("dist"), lit(i).as("cell"))
+      }: _*))
+
+    val cCells = corpus.select(c(idCol).as("neighbor_id"), c(vecCol).as("nvec"),
+      rankedCells(c(vecCol)).getItem(0).getField("cell").as("cell"))
+    val qCells = queries.select(c(idCol).as("query_id"), c(vecCol).as("qvec"),
+      explode(transform(slice(rankedCells(c(vecCol)), 1, math.min(nprobe, sampled.length)),
+        s => s.getField("cell"))).as("cell"))
+    val scored = qCells.join(cCells, Seq("cell"))
+      .filter(c("query_id") =!= c("neighbor_id"))
+      .withColumn("cosine", cosineCol(c("qvec"), c("nvec")))
+      .select(c("query_id"), c("neighbor_id"), c("cosine")).distinct()
+    val w = Window.partitionBy(c("query_id")).orderBy(c("cosine").desc, c("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(c("rank") <= k)
+      .select(c("query_id"), c("rank"), c("neighbor_id"), c("cosine"))
+  }
+
   /** ANN top-k: bucket corpus and queries by hyperplane signature; probe the
     * exact bucket plus `probes` one-bit-flipped neighbors (multi-probe LSH);
     * exact-rank within the probed candidate set. Shuffle key = bucket id —

