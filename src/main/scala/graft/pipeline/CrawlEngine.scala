@@ -73,6 +73,7 @@ final class CrawlEngine(
   @transient val metricsT: SnapshotTable = store.table("metrics")
   @transient val eventsT: SnapshotTable = store.table("fetch_events")
   @transient val frontierT: SnapshotTable = store.table("frontier")
+  @transient val partitionMetricsT: SnapshotTable = store.table("partition_metrics")
 
   /** Synthetic robots/politeness host-profile table, broadcast to every
     * generation (north rule: robots rules evaluated from a host table
@@ -126,8 +127,8 @@ final class CrawlEngine(
     */
   def rollbackPartial(): Unit = {
     val committed = lastCommittedGeneration
-    Seq(seenT, linksT, docsT, imagesT, pdfT, hostStateT, metricsT, eventsT, frontierT)
-      .foreach(_.rollbackToGeneration(committed))
+    Seq(seenT, linksT, docsT, imagesT, pdfT, hostStateT, metricsT, eventsT,
+      frontierT, partitionMetricsT).foreach(_.rollbackToGeneration(committed))
   }
 
   def processedQueries(): Set[String] =
@@ -328,6 +329,17 @@ final class CrawlEngine(
     val imagesDf = fetched.flatMap(_._2)
     val nDocs = docsDf.count()
 
+    // per-partition lineage counters from the fetch stage (north rule):
+    // one row per (host,salt) shard — docs, spans, images produced there
+    val partMetrics = fetched.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var docs = 0L; var spans = 0L; var imgs = 0L
+      it.foreach { case (d, im, _) => docs += 1; spans += d.spans.size; imgs += im.size }
+      Iterator((pid, docs, spans, imgs))
+    }.toDF("partition_id", "docs", "spans", "images")
+      .filter($"docs" > 0)
+      .withColumn("generation", lit(round))
+
     // ---- commits (processed_queries LAST — K3 barrier) -----------------
     val counters = Map(
       "candidates" -> nCandidates,
@@ -387,6 +399,7 @@ final class CrawlEngine(
     docsT.append(docsDf.toDF(), round, counters)
     imagesT.append(imagesDf.toDF(), round)
     metricsT.append(counters.toSeq.toDF("key", "value").withColumn("generation", lit(round)), round)
+    partitionMetricsT.append(partMetrics, round)
     processedT.append(batch.zipWithIndex.toDF("query", "query_rank")
       .withColumn("generation", lit(round)), round) // commit point
 

@@ -67,6 +67,13 @@ class OracleEngineParitySpec extends AnyFunSuite {
     // processed queries: all non-blank seeds, checkpointed
     val processed = eng.processedQueries()
     assert(processed == oracle.processedQueries.toSet)
+
+    // per-partition lineage sums to the generation totals
+    import org.apache.spark.sql.functions.sum
+    val pm = eng.partitionMetricsT.read(spark).get
+    assert(pm.agg(sum("docs")).as[Long].head() == oracle.counters("fetched"))
+    assert(pm.agg(sum("spans")).as[Long].head() ==
+      oracle.docs.iterator.map(_.spans.size.toLong).sum)
   }
 
   test("partition-count stability: same results at different shuffle parallelism") {
