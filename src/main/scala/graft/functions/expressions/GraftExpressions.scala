@@ -62,3 +62,19 @@ object GraftFunctions {
       "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "built-in")
   }
 }
+
+/** spark-submit deployment hook:
+  * `--conf spark.sql.extensions=graft.functions.expressions.GraftExtensions`
+  * injects the native functions into every session of the application
+  * (the SparkSessionExtensions path for cluster runs; local code calls
+  * [[GraftFunctions.register]] directly).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
+      (exprs: Seq[Expression]) => RollingFingerprintExpr(exprs.head)))
+  }
+}
