@@ -234,13 +234,11 @@ final class CrawlEngine(
           .join(seenDf.select($"href"), Seq("href"), "left_anti")
         defNew.unionByName(maybe)
     }).persist(StorageLevel.MEMORY_AND_DISK)
-    val nNew = newLinks.count()
 
     // ---- P4: relevance gate (deterministic 2-of-3 vote) ----------------
     val kept = newLinks
       .filter(Predicates.isRelevantCol($"title", $"href", $"content"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nKept = kept.count()
 
     // ---- P5/S7/D3: PDF split -------------------------------------------
     val confirmsPdf = udf((u: String) => SyntheticWeb.confirmsPdf(webCfg, u))
@@ -297,11 +295,6 @@ final class CrawlEngine(
       .withColumn("scheduled_ms", $"next_free_ms" + $"slot" * $"min_delay_ms")
       .withColumn("salt", pmod(xxhash64($"href"), lit(saltShards)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nScheduled = sched.count()
-    val nRobotsBlocked = {
-      val htmlCount = nKept - pdfLinks.count()
-      htmlCount + nExpanded - nScheduled
-    }
 
     // ---- S6/G1/G2/G5: salted fetch + span extraction + link discovery ---
     val fetched: Dataset[(PageDoc, Seq[SequentialOracle.OracleImage], Seq[String])] = sched
@@ -327,7 +320,6 @@ final class CrawlEngine(
       }.persist(StorageLevel.MEMORY_AND_DISK)
     val docsDf = fetched.map(_._1)
     val imagesDf = fetched.flatMap(_._2)
-    val nDocs = docsDf.count()
 
     // per-partition lineage counters from the fetch stage (north rule):
     // one row per (host,salt) shard — docs, spans, images produced there
@@ -341,6 +333,39 @@ final class CrawlEngine(
       .withColumn("generation", lit(round))
 
     // ---- commits (processed_queries LAST — K3 barrier) -----------------
+    // Independent table commits run as CONCURRENT Spark jobs (separate
+    // dirs, per-table atomic pointer flips; crash recovery handles any
+    // committed subset). Per-generation counters come free from the
+    // manifests' per-commit row deltas — no standalone count() jobs.
+    val seenDelta = newLinks.select($"href", $"host")
+      .unionByName(picks.select($"href", $"host"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val seenF = Future(seenT.append(seenDelta, round))
+    val linksF = Future(linksT.append(kept.toDF(), round))
+    val pdfF = Future(pdfT.append(
+      pdfLinks.select($"href".as("url"), lit(round).as("generation")), round))
+    val eventsF = Future(eventsT.append(
+      sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
+        $"min_delay_ms", lit(round).as("round"), $"phase"), round))
+    val docsF = Future(docsT.append(docsDf.toDF(), round))
+    val imagesF = Future(imagesT.append(imagesDf.toDF(), round))
+    val pmF = Future(partitionMetricsT.append(partMetrics, round))
+    // distributed Bloom delta build rides the same concurrency window
+    val bloomF = Future(BlockedBloom.buildLike(seenDelta.select($"href").as[String], bloom))
+    val (seenMeta, linksMeta, eventsMeta, docsMeta, pdfMeta) = (
+      Await.result(seenF, Duration.Inf), Await.result(linksF, Duration.Inf),
+      Await.result(eventsF, Duration.Inf), Await.result(docsF, Duration.Inf),
+      Await.result(pdfF, Duration.Inf))
+    Await.result(imagesF, Duration.Inf); Await.result(pmF, Duration.Inf)
+    bloom.merge(Await.result(bloomF, Duration.Inf))
+
+    val nNew = seenT.deltaRows(seenMeta) - nExpanded
+    val nKept = linksT.deltaRows(linksMeta)
+    val nScheduled = eventsT.deltaRows(eventsMeta)
+    val nDocs = docsT.deltaRows(docsMeta)
     val counters = Map(
       "candidates" -> nCandidates,
       "skipped" -> (nCandidates - nNew),
@@ -348,18 +373,9 @@ final class CrawlEngine(
       "added" -> nKept,
       "expanded" -> nExpanded,
       "scheduled" -> nScheduled,
-      "robots_blocked" -> nRobotsBlocked,
+      "robots_blocked" -> (nKept - pdfT.deltaRows(pdfMeta) + nExpanded - nScheduled),
       "docs" -> nDocs)
 
-    // this generation's seen delta: search-phase winners + frontier picks
-    val seenDelta = newLinks.select($"href", $"host")
-      .unionByName(picks.select($"href", $"host"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    seenT.append(seenDelta, round, counters)
-    // update the driver Bloom with this generation's new URLs: distributed
-    // per-partition build OR-merged via treeAggregate (never serialize the
-    // URL stream through the driver)
-    bloom.merge(BlockedBloom.buildLike(seenDelta.select($"href").as[String], bloom))
     // cuckoo invariant: each hot-host filter must stay a SUPERSET of that
     // host's seen URLs or its exact-negative claim breaks — insert this
     // generation's new URLs for tracked hosts (bounded: hot hosts only)
@@ -368,11 +384,6 @@ final class CrawlEngine(
         .select($"host", $"href").as[(String, String)].collect()
         .foreach { case (h, u) => cuckoos(h).insert(u) }
     }
-    linksT.append(kept.toDF(), round)
-    pdfT.append(pdfLinks.select($"href".as("url"), lit(round).as("generation")), round)
-    eventsT.append(
-      sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
-        $"min_delay_ms", lit(round).as("round"), $"phase"), round)
 
     // ---- frontier maintenance: (old - picked) + new discoveries ---------
     if (expandTopK > 0) {
@@ -396,10 +407,7 @@ final class CrawlEngine(
     val newState = hostState.join(updatedState, Seq("host"), "left_anti")
       .unionByName(updatedState)
     hostStateT.replace(newState, round)
-    docsT.append(docsDf.toDF(), round, counters)
-    imagesT.append(imagesDf.toDF(), round)
     metricsT.append(counters.toSeq.toDF("key", "value").withColumn("generation", lit(round)), round)
-    partitionMetricsT.append(partMetrics, round)
     processedT.append(batch.zipWithIndex.toDF("query", "query_rank")
       .withColumn("generation", lit(round)), round) // commit point
 

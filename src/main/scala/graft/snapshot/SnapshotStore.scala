@@ -103,6 +103,12 @@ final class SnapshotTable(val root: Path, val name: String) {
     meta
   }
 
+  /** Rows added by this commit relative to its parent (free from the
+    * manifests — no Spark job). For replace commits this is the new total.
+    */
+  def deltaRows(meta: SnapshotMeta): Long =
+    meta.rowCount - (if (meta.parentId >= 0) snapshot(meta.parentId).rowCount else 0L)
+
   /** Time-travel the current pointer back until the table's latest commit
     * is from generation <= gen (crash-recovery: discard partial-generation
     * commits whose processed_queries barrier never landed). Data files of
