@@ -39,7 +39,28 @@ object Bench {
 
   final case class CrawlResult(urlsPerSec: Double, seen: Long, candidatesPerSec: Double, wallSec: Double)
 
+  /** Pin THIS JVM (all threads) to the first `cores` CPUs. `local[N]` alone
+    * only caps task slots — GC, shuffle IO, compression and codegen threads
+    * would still use the whole machine, which inflates low-parallelism
+    * throughput and understates scaling. CPU affinity makes local[N] an
+    * honest N-core-machine proxy (the sandbox stand-in for an N-executor
+    * cluster).
+    */
+  /** Machine core count captured BEFORE any pinning. */
+  private val machineCores: Int = Runtime.getRuntime.availableProcessors()
+
+  private def pinCpus(cores: Int): Unit = {
+    val mask = java.lang.Long.toHexString((1L << math.min(cores, 63)) - 1)
+    val pid = ProcessHandle.current().pid()
+    try {
+      val p = new ProcessBuilder("taskset", "-a", "-p", mask, pid.toString)
+        .redirectErrorStream(true).start()
+      p.waitFor()
+    } catch { case _: Exception => () } // no taskset → proceed unpinned
+  }
+
   private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): CrawlResult = {
+    pinCpus(cores)
     val spark = session(cores)
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
@@ -58,6 +79,7 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    pinCpus(machineCores) // unpin (full machine) for whatever runs next
     CrawlResult(seen / secs, seen, candidates / secs, secs)
   }
 
@@ -65,27 +87,33 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = sys.env.getOrElse("BENCH_LO_CPUS", "8").toInt
-    val nQueries = sys.env.getOrElse("BENCH_QUERIES", "3000").toInt
-    val batch = sys.env.getOrElse("BENCH_BATCH", "3000").toInt
+    val nQueries = sys.env.getOrElse("BENCH_QUERIES", "6000").toInt
+    val batch = sys.env.get("BENCH_BATCH").map(_.toInt).getOrElse(nQueries)
     val cfg = WebConfig(
       seed = 42,
-      nHosts = sys.env.getOrElse("BENCH_HOSTS", "50000").toInt,
-      resultsPerPage = sys.env.getOrElse("BENCH_RPP", "400").toInt,
+      nHosts = sys.env.getOrElse("BENCH_HOSTS", "150000").toInt,
+      resultsPerPage = sys.env.getOrElse("BENCH_RPP", "600").toInt,
       pages = sys.env.getOrElse("BENCH_PAGES", "1").toInt,
-      bodyElems = sys.env.getOrElse("BENCH_BODY_ELEMS", "40").toInt)
+      bodyElems = sys.env.getOrElse("BENCH_BODY_ELEMS", "60").toInt)
 
-    // ---- per-query timings on the sf dir ----
-    val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // ---- per-query timings on the sf dir (skippable for crawl probes) ----
+    val results = if (sys.env.get("BENCH_SKIP_QUERIES").contains("1")) Seq.empty else {
+      val spark = session(cpus)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      r
     }
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
 
     // ---- crawl throughput at two parallelism levels (scaling evidence) ----
+    // JIT/codegen warmup first: the first crawl in a JVM pays ~25-35s of
+    // compilation that would otherwise bias whichever parallelism runs first
+    crawlBench(cpus, 300, 300, cfg.copy(nHosts = 2000, resultsPerPage = 100))
     val loRes = crawlBench(lo, nQueries, batch, cfg)
     val hiRes = crawlBench(cpus, nQueries, batch, cfg)
     val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (cpus.toDouble / lo)

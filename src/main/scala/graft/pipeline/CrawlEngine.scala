@@ -170,6 +170,14 @@ final class CrawlEngine(
     initBloom()
     val webCfg = cfg
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // phase timing (env GRAFT_PHASE_TIMING=1): finds serial driver floors
+    val timing = sys.env.get("GRAFT_PHASE_TIMING").contains("1")
+    var tLast = System.nanoTime()
+    def lap(name: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      println(f"[gen $round] $name%-18s ${(now - tLast) / 1e9}%6.2fs")
+      tLast = now
+    }
 
     // ---- G4: search fan-out (both kinds, all pages) --------------------
     val batchDs = spark.createDataset(batch.zipWithIndex.map { case (q, i) => (q, i) })
@@ -184,8 +192,18 @@ final class CrawlEngine(
       } yield Link(hit.title, hit.url, hit.content, query, effPage, hit.engine,
         if (kind == 1) Some("image") else None, hit.img_src, hit.thumbnail_src,
         round, qRank, kind, rRank, UrlFunctions.hostOf(hit.url))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    val nCandidates = candidates.count()
+    }
+    // NOT persisted: the candidate stream is a deterministic flatMap over a
+    // tiny driver list — recomputing it for its consumers costs far less
+    // than caching millions of Link rows (memory pressure at bench scale).
+    // One pass yields both the total count and the per-host mass (hot-host
+    // selection) — no second scan. The collect is O(distinct hosts touched
+    // this generation); at extreme host cardinality switch to a server-side
+    // orderBy/limit for hotNow plus df.observe for the total.
+    val hostCounts = candidates.toDF().groupBy($"host").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nCandidates = hostCounts.iterator.map(_._2).sum
+    lap("candidates")
 
     // ---- D1: intra-batch first-seen-wins on deterministic ArrivalKey ----
     val arrival = Seq($"kind", $"query_rank", $"page", $"result_rank")
@@ -199,9 +217,8 @@ final class CrawlEngine(
     // generations). Routing never decides membership positively: any
     // "maybe seen" goes through the exact anti-join, so FPs cost a shuffled
     // row, never a dropped URL.
-    val hotNow = candidates.toDF().groupBy($"host").count()
-      .orderBy($"count".desc, $"host").limit(hotHostCount)
-      .select($"host").as[String].collect().toSet
+    val hotNow = hostCounts.sortBy { case (h, n) => (-n, h) }
+      .take(hotHostCount).map(_._1).toSet
     val missing = hotNow -- cuckoos.keySet
     if (missing.nonEmpty) {
       val seedRows: Map[String, Array[String]] = seenT.read(spark) match {
@@ -218,6 +235,7 @@ final class CrawlEngine(
         h -> cf
       }
     }
+    lap("cuckoo-seed")
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val cuckooBc = spark.sparkContext.broadcast(cuckoos)
     val mightContain = udf { (href: String, host: String) =>
@@ -271,6 +289,7 @@ final class CrawlEngine(
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val nExpanded = picks.count()
+    lap("picks")
 
     // ---- T4: robots gate + per-host politeness schedule (both phases) ---
     // per-host order: phase 0 (ArrivalKey order) then phase 1 (score order);
@@ -332,6 +351,14 @@ final class CrawlEngine(
       .filter($"docs" > 0)
       .withColumn("generation", lit(round))
 
+    // materialize the shared caches EXACTLY ONCE before the concurrent
+    // commit window: Spark's block cache does not coordinate concurrent
+    // first-computation of the same partition, so racing consumers would
+    // redundantly re-run the dedup window / fetch+extract
+    newLinks.count()
+    fetched.count()
+    lap("compute")
+
     // ---- commits (processed_queries LAST — K3 barrier) -----------------
     // Independent table commits run as CONCURRENT Spark jobs (separate
     // dirs, per-table atomic pointer flips; crash recovery handles any
@@ -353,6 +380,15 @@ final class CrawlEngine(
     val docsF = Future(docsT.append(docsDf.toDF(), round))
     val imagesF = Future(imagesT.append(imagesDf.toDF(), round))
     val pmF = Future(partitionMetricsT.append(partMetrics, round))
+    // host_state: untouched hosts keep state; scheduled hosts advance —
+    // depends only on sched (persisted), so it rides the same window
+    val hostF = Future {
+      val updatedState = sched.groupBy($"host")
+        .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free_ms"))
+      val newState = hostState.join(updatedState, Seq("host"), "left_anti")
+        .unionByName(updatedState)
+      hostStateT.replace(newState, round)
+    }
     // distributed Bloom delta build rides the same concurrency window
     val bloomF = Future(BlockedBloom.buildLike(seenDelta.select($"href").as[String], bloom))
     val (seenMeta, linksMeta, eventsMeta, docsMeta, pdfMeta) = (
@@ -360,7 +396,9 @@ final class CrawlEngine(
       Await.result(eventsF, Duration.Inf), Await.result(docsF, Duration.Inf),
       Await.result(pdfF, Duration.Inf))
     Await.result(imagesF, Duration.Inf); Await.result(pmF, Duration.Inf)
+    Await.result(hostF, Duration.Inf)
     bloom.merge(Await.result(bloomF, Duration.Inf))
+    lap("commits")
 
     val nNew = seenT.deltaRows(seenMeta) - nExpanded
     val nKept = linksT.deltaRows(linksMeta)
@@ -401,17 +439,13 @@ final class CrawlEngine(
         .unionByName(discoveries)
       frontierT.replace(newFrontier, round)
     }
-    // host_state: untouched hosts keep state; scheduled hosts advance
-    val updatedState = sched.groupBy($"host")
-      .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free_ms"))
-    val newState = hostState.join(updatedState, Seq("host"), "left_anti")
-      .unionByName(updatedState)
-    hostStateT.replace(newState, round)
+    lap("frontier")
     metricsT.append(counters.toSeq.toDF("key", "value").withColumn("generation", lit(round)), round)
     processedT.append(batch.zipWithIndex.toDF("query", "query_rank")
       .withColumn("generation", lit(round)), round) // commit point
+    lap("metrics+barrier")
 
-    Seq[Dataset[_]](candidates, newLinks, kept, picks, sched, fetched, seenDelta)
+    Seq[Dataset[_]](newLinks, kept, picks, sched, fetched, seenDelta)
       .foreach(_.unpersist())
     counters
   }
