@@ -74,6 +74,27 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(pm.agg(sum("docs")).as[Long].head() == oracle.counters("fetched"))
     assert(pm.agg(sum("spans")).as[Long].head() ==
       oracle.docs.iterator.map(_.spans.size.toLong).sum)
+
+    // images table equals the reference images_metadata records (multiset)
+    val engImages = eng.imagesT.read(spark).get
+      .as[graft.oracle.SequentialOracle.OracleImage].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val oraImages = oracle.images.groupBy(identity).view.mapValues(_.length).toMap
+    assert(engImages == oraImages)
+    assert(oraImages.nonEmpty, "fixture must produce image records")
+  }
+
+  test("parity holds on a different universe (seed/hosts/batch) with expansion") {
+    val cfg2 = WebConfig(seed = 1234, nHosts = 23, resultsPerPage = 6, pages = 1)
+    val seeds2 = (1 to 9).map(i => s"sg query $i")
+    val ora2 = SequentialOracle.run(cfg2, seeds2, batchSize = 4, expandTopK = 2)
+    val eng2 = new CrawlEngine(SparkTestSession.spark, cfg2, tempDir("alt"),
+      batchSize = 4, saltShards = 2, hotHostCount = 3, expandTopK = 2)
+    eng2.run(seeds2)
+    assert(eng2.seenSet() == ora2.seen)
+    assert(eng2.crawlOrder() == ora2.crawlOrder)
+    assert(eng2.docs().map(d => d.doc_id -> d.spans).toMap ==
+      ora2.docs.map(d => d.doc_id -> d.spans).toMap)
   }
 
   test("partition-count stability: same results at different shuffle parallelism") {
