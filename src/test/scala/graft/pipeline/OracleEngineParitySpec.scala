@@ -84,6 +84,25 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(oraImages.nonEmpty, "fixture must produce image records")
   }
 
+  test("resume with an active frontier: stop after generation 1, finish identically") {
+    val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
+    val dir = tempDir("resume-exp")
+    val eng1 = new CrawlEngine(SparkTestSession.spark, cfg, dir, batchSize, expandTopK = 3)
+    eng1.run(seeds, maxRounds = 1)
+    // simulate a crash: partial generation-2 commits (incl. a frontier
+    // replace) that never reached the barrier must roll back on resume
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    eng1.frontierT.replace(Seq(("https://junk.example/x", "junk.example", 0.5, 2))
+      .toDF("url", "host", "score", "discovered_gen"), 2)
+    val eng2 = new CrawlEngine(spark, cfg, dir, batchSize, expandTopK = 3)
+    eng2.run(seeds)
+    assert(eng2.seenSet() == oracleExp.seen)
+    assert(eng2.crawlOrder() == oracleExp.crawlOrder)
+    assert(eng2.docs().map(d => d.doc_id -> d.spans).toMap ==
+      oracleExp.docs.map(d => d.doc_id -> d.spans).toMap)
+  }
+
   test("parity holds on a different universe (seed/hosts/batch) with expansion") {
     val cfg2 = WebConfig(seed = 1234, nHosts = 23, resultsPerPage = 6, pages = 1)
     val seeds2 = (1 to 9).map(i => s"sg query $i")
