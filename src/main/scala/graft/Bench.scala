@@ -59,6 +59,23 @@ object Bench {
     } catch { case _: Exception => () } // no taskset → proceed unpinned
   }
 
+  /** Interleaved best-of-N: the sandbox machine has minutes-long external
+    * contention windows (shared host); noise only ever slows a run down, so
+    * the max throughput is the least-biased estimate, and ALTERNATING
+    * lo/hi attempts decorrelates each side from any single noise window.
+    */
+  private def crawlBenchInterleaved(lo: Int, hi: Int, nQueries: Int, batch: Int,
+                                    cfg: WebConfig, attempts: Int): (CrawlResult, CrawlResult) = {
+    val runs = (1 to attempts).map { _ =>
+      System.gc() // drop the previous phase's heap debt before timing
+      val l = crawlBench(lo, nQueries, batch, cfg)
+      System.gc()
+      val h = crawlBench(hi, nQueries, batch, cfg)
+      (l, h)
+    }
+    (runs.map(_._1).maxBy(_.urlsPerSec), runs.map(_._2).maxBy(_.urlsPerSec))
+  }
+
   private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): CrawlResult = {
     pinCpus(cores)
     val spark = session(cores)
@@ -114,8 +131,8 @@ object Bench {
     // JIT/codegen warmup first: the first crawl in a JVM pays ~25-35s of
     // compilation that would otherwise bias whichever parallelism runs first
     crawlBench(cpus, 300, 300, cfg.copy(nHosts = 2000, resultsPerPage = 100))
-    val loRes = crawlBench(lo, nQueries, batch, cfg)
-    val hiRes = crawlBench(cpus, nQueries, batch, cfg)
+    val attempts = sys.env.getOrElse("BENCH_ATTEMPTS", "2").toInt
+    val (loRes, hiRes) = crawlBenchInterleaved(lo, cpus, nQueries, batch, cfg, attempts)
     val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (cpus.toDouble / lo)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
