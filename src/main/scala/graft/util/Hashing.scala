@@ -117,6 +117,18 @@ object Hashing {
     h
   }
 
+  /** Base-257 polynomial over UTF-16 code units of s[from, until), seeded
+    * with the FNV offset — the rolling-hash kernel shared by the document
+    * fingerprint and winnowing gram hashes. Wraps mod 2^64 (Java long
+    * overflow), matching `(acc*257 + c) % 2^64` in unsigned arithmetic.
+    */
+  def poly257(s: String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) { h = h * 257L + s.charAt(i).toLong; i += 1 }
+    h
+  }
+
   /** Uniform double in [0,1) from a hash. */
   @inline def toUnit(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
 

@@ -45,6 +45,56 @@ class MlSpec extends AnyFunSuite {
     assert(plantedPairs.subsetOf(close), s"missing: ${plantedPairs -- close}")
   }
 
+  test("simhash banding recall is exhaustive at the claimed radius") {
+    // property the 7-chunk pigeonhole banding guarantees: EVERY pair of the
+    // corpus within hamming<=6 appears as a candidate (computed exhaustively
+    // driver-side over the planted corpus)
+    val rows = planted.as[(Long, String)].collect()
+    val sh = rows.map { case (id, t) => id -> TextDedup.simhash64Kernel(t) }
+    val want = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    val got = TextDedup.simhashCandidates(planted, maxHamming = 6)
+      .filter($"hamming" <= 6)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(got), s"missing: ${want -- got}")
+  }
+
+  test("minhash verified near-dups equal the exhaustive exact-jaccard pair set") {
+    val exact = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val got = TextDedup.minhashNearDups(planted, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("simhash verified near-dups equal the exhaustive exact-jaccard pair set") {
+    val exact = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val got = TextDedup.simhashNearDups(planted, 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("connected components resolve clusters to the min-id survivor") {
+    // triangle {1,2,3}, pair {10,11}, a 4-chain {20..23}, reversed pair {5,4}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L), (5L, 4L)).toDF("a", "b")
+    val got = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("jaccard hot-token cap sheds the token and still completes") {
+    // 'hot' appears in every doc (df=50 > maxDf=10) and is shed; the other
+    // tokens are unique so no pair survives
+    val docs = (0 until 50).map(i => (i.toLong, s"hot tok$i xtra$i")).toDF("doc_id", "text")
+    val got = TextDedup.jaccardPairsFromTokens(TextDedup.docTokens(docs), 0.3, maxDf = 10)
+    assert(got.count() == 0)
+  }
+
   test("exact dedup keeps min id per identical text") {
     val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val got = TextDedup.exactDups(df).as[(Long, Long)].collect().toSet
