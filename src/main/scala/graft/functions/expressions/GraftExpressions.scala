@@ -54,9 +54,22 @@ object RollingFingerprintExpr {
   * SparkSessionExtensions.injectFunction for spark-submit deployments.
   */
 object GraftFunctions {
+  private def litInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "built-in")
+    // URL-seen dedup tier (the analyzer wraps the AggregateFunction)
+    r.createOrReplaceTempFunction(
+      "bloom_agg", exprs => BloomBuildAgg(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    r.createOrReplaceTempFunction(
+      "bloom_or", exprs => BloomOrExpr(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs => BloomMightContainExpr(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "cuckoo_contains", exprs => CuckooContainsExpr(exprs(0), exprs(1)), "built-in")
   }
 }
 

@@ -103,12 +103,67 @@ final class CuckooFilter(val numBuckets: Int) extends Serializable {
   }
 
   def size: Long = count
+
+  /** Serialize to the BINARY column form used by the `cuckoo_tier` table:
+    * [saturated: 1 byte][numBuckets: 4 bytes LE][count: 8 bytes LE][shorts LE].
+    */
+  def toBytes: Array[Byte] = {
+    val out = new Array[Byte](CuckooFilter.HeaderBytes + table.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(if (saturated) 1.toByte else 0.toByte)
+    bb.putInt(numBuckets)
+    bb.putLong(count)
+    bb.asShortBuffer().put(table)
+    out
+  }
 }
 
 object CuckooFilter {
   val SlotsPerBucket = 4
   val MaxKicks = 500
   val CuckooSeed = 0xc0c00L
+  val HeaderBytes = 13
+
+  def fromBytes(blob: Array[Byte]): CuckooFilter = {
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sat = bb.get() == 1.toByte
+    val nb = bb.getInt()
+    val cnt = bb.getLong()
+    val cf = new CuckooFilter(nb)
+    bb.asShortBuffer().get(cf.table)
+    cf.saturated = sat
+    cf.count = cnt
+    cf
+  }
+
+  /** Probe the serialized form directly (called from generated code; no
+    * per-row deserialization). Mirrors [[CuckooFilter.contains]].
+    */
+  def containsBytes(blob: Array[Byte], key: Array[Byte]): Boolean = {
+    val numBuckets = (blob(1) & 0xff) | ((blob(2) & 0xff) << 8) |
+      ((blob(3) & 0xff) << 16) | ((blob(4) & 0xff) << 24)
+    val h = Hashing.murmur3_64(key, CuckooSeed)
+    val f0 = ((h >>> 48) & 0xffff).toInt
+    val f = (if (f0 == 0) 1 else f0).toShort
+    val b1 = ((h & 0x7fffffffffffffffL) % numBuckets).toInt
+    val fh = Hashing.fmix64((f & 0xffffL) * 0xc4ceb9fe1a85ec53L)
+    val b2 = (b1 ^ ((fh & 0x7fffffffffffffffL) % numBuckets).toInt) % numBuckets
+    bucketHasBytes(blob, b1, f) || bucketHasBytes(blob, b2, f)
+  }
+
+  @inline private def bucketHasBytes(blob: Array[Byte], b: Int, f: Short): Boolean = {
+    val base = HeaderBytes + b * SlotsPerBucket * 2
+    var i = 0
+    while (i < SlotsPerBucket) {
+      val s = ((blob(base + i * 2) & 0xff) | ((blob(base + i * 2 + 1) & 0xff) << 8)).toShort
+      if (s == f) return true
+      i += 1
+    }
+    false
+  }
+
+  /** True iff the serialized filter's negatives are exact (not saturated). */
+  def negativesExactBytes(blob: Array[Byte]): Boolean = blob(0) == 0.toByte
 
   def sized(expectedKeys: Long, loadFactor: Double = 0.84): CuckooFilter = {
     val buckets = math.max(8L, (expectedKeys / (SlotsPerBucket * loadFactor)).toLong + 1)

@@ -28,11 +28,25 @@ import org.apache.spark.storage.StorageLevel
   * }}}
   *
   * Scale design notes:
-  *  - the Bloom tier (blocked, FNV-1a+murmur3, built per-partition and
-  *    OR-merged) routes definitely-new URLs around the anti-join shuffle; at
-  *    10^10-URL frontier scale the overwhelming majority of dup probes die
-  *    in the broadcast filter, the exact anti-join stays the authority so
+  *  - the Bloom tier (blocked, FNV-1a+murmur3) is a HOST-HASH-BUCKET-
+  *    PARTITIONED table `bloom_tier(bucket, bits)` built and incrementally
+  *    merged ENTIRELY executor-side by a Catalyst TypedImperativeAggregate
+  *    (`bloom_agg`) — no monolithic driver-resident filter exists. Probing
+  *    is a join of candidates to their bucket's blob + a codegen'd
+  *    `bloom_might_contain` expression; whether that join broadcasts (small
+  *    tier) or co-partitions on the bucket key (10^10-scale tier, ~15 GB)
+  *    is a size-based plan decision, not a hardcoded broadcast. Routing
+  *    never decides membership: the exact anti-join stays the authority so
   *    the final seen set equals the reference's;
+  *  - the cuckoo hot-host tier is likewise a table `cuckoo_tier(host, cf,
+  *    cf_exact)`: filters are BUILT executor-side (groupByKey/mapGroups
+  *    over the seen table, streaming inserts — the driver never sees a
+  *    host's URL set, only ≤hotHostCount serialized filters) and MAINTAINED
+  *    executor-side (cogroup with each generation's seen delta); saturated
+  *    filters are dropped and rebuilt larger next generation;
+  *  - per-generation totals come from `observe()` metrics and hot-host
+  *    selection from a server-side top-k (`orderBy.limit(k)`) — no
+  *    O(distinct hosts) or O(|seen|) collect anywhere in a generation;
   *  - politeness is a window over hash(host) partitioning: slot j of host h
   *    is scheduled at next_free(h) + j*min_delay(h) — per-host state never
   *    crosses partitions;
@@ -58,9 +72,13 @@ final class CrawlEngine(
     bloomBitsPerKey: Int = 12,
     bloomExpectedKeys: Long = 1L << 20,
     hotHostCount: Int = 8,
-    expandTopK: Int = 0) extends Serializable {
+    expandTopK: Int = 0,
+    bloomBuckets: Int = 32,
+    tierBroadcastBytes: Long = 512L << 20) extends Serializable {
 
   import spark.implicits._
+
+  graft.functions.expressions.GraftFunctions.register(spark)
 
   @transient private val store = SnapshotStore(storeRoot)
   @transient val seenT: SnapshotTable = store.table("seen")
@@ -95,27 +113,57 @@ final class CrawlEngine(
       p => startswith(path, p))
   }
 
-  /** Driver-resident Bloom prefilter over the seen table; rebuilt from the
-    * table on startup (resume), incrementally extended per generation.
+  /** Partitioned Bloom tier table: (bucket, bits BINARY), bucket =
+    * pmod(xxhash64(href), bloomBuckets). Built from the seen table by the
+    * `bloom_agg` TypedImperativeAggregate (executor-side, merge = OR),
+    * incrementally extended per generation by `bloom_or`-merging the
+    * delta's per-bucket filters, rebuilt 4× larger when the seen count
+    * outgrows the recorded capacity.
     */
-  @transient private var bloom: BlockedBloom = _
+  @transient val bloomT: SnapshotTable = store.table("bloom_tier")
 
-  /** Exact cuckoo tier for hot hosts (north rule): the top-k hosts by
-    * frontier mass this generation keep a per-host cuckoo filter whose
-    * NEGATIVE answers are exact (while unsaturated) — their high-collision
-    * URL traffic routes around both the Bloom's false positives and the
-    * anti-join shuffle. Built lazily per host from the seen table, extended
-    * with each generation's new URLs; delete support is what distinguishes
-    * the cuckoo from the Bloom tier (eviction/re-crawl workflows).
+  /** Exact cuckoo tier table for hot hosts (north rule): (host, cf BINARY,
+    * cf_exact). The top-k hosts by candidate mass keep a per-host cuckoo
+    * filter whose NEGATIVE answers are exact (while unsaturated) — their
+    * high-collision URL traffic routes around both the Bloom's false
+    * positives and the anti-join shuffle. Delete support is what
+    * distinguishes the cuckoo from the Bloom tier (eviction/re-crawl).
     */
-  @transient private var cuckoos: Map[String, graft.operators.CuckooFilter] = Map.empty
+  @transient val cuckooT: SnapshotTable = store.table("cuckoo_tier")
 
-  private def initBloom(): Unit = if (bloom == null) {
-    val expected = math.max(bloomExpectedKeys,
-      seenT.currentSnapshot.map(_.rowCount * 4).getOrElse(0L))
-    bloom = BlockedBloom.sized(expected, bloomBitsPerKey)
-    seenT.read(spark).foreach { df =>
-      bloom.merge(BlockedBloom.buildLike(df.select($"href").as[String], bloom))
+  private def bucketCol(href: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(href), lit(bloomBuckets)).cast("int")
+
+  private def emptyBloomDf: DataFrame =
+    Seq.empty[(Int, Array[Byte])].toDF("bucket", "bits")
+
+  private def emptyCuckooDf: DataFrame =
+    Seq.empty[(String, Array[Byte], Boolean)].toDF("host", "cf", "cf_exact")
+
+  private def bloomCapacity: Long =
+    bloomT.currentSnapshot.flatMap(_.counters.get("capacity")).getOrElse(0L)
+
+  private def bloomBlocks: Int =
+    bloomT.currentSnapshot.flatMap(_.counters.get("num_blocks")).getOrElse(0L).toInt
+
+  /** (Re)build the partitioned Bloom tier when absent or outgrown — a
+    * distributed group-by-bucket aggregation over the seen table; the
+    * driver only writes the table pointer.
+    */
+  private def ensureBloomTier(): Unit = {
+    val seenRows = seenT.currentSnapshot.map(_.rowCount).getOrElse(0L)
+    if (bloomT.currentSnapshot.isEmpty || seenRows > bloomCapacity) {
+      val capacity = math.max(bloomExpectedKeys, seenRows * 4)
+      val nb = BlockedBloom.blocksFor(
+        math.max(1L, capacity / bloomBuckets), bloomBitsPerKey)
+      val df = seenT.read(spark) match {
+        case Some(seenDf) =>
+          seenDf.select(bucketCol($"href").as("bucket"), $"href")
+            .groupBy($"bucket").agg(expr(s"bloom_agg(href, $nb, 7)").as("bits"))
+        case None => emptyBloomDf
+      }
+      bloomT.replace(df, lastCommittedGeneration,
+        Map("capacity" -> capacity, "num_blocks" -> nb.toLong))
     }
   }
 
@@ -128,7 +176,8 @@ final class CrawlEngine(
   def rollbackPartial(): Unit = {
     val committed = lastCommittedGeneration
     Seq(seenT, linksT, docsT, imagesT, pdfT, hostStateT, metricsT, eventsT,
-      frontierT, partitionMetricsT).foreach(_.rollbackToGeneration(committed))
+      frontierT, partitionMetricsT, bloomT, cuckooT)
+      .foreach(_.rollbackToGeneration(committed))
   }
 
   def processedQueries(): Set[String] =
@@ -139,7 +188,7 @@ final class CrawlEngine(
     */
   def run(seedQueries: Seq[String], maxRounds: Int = Int.MaxValue): Int = {
     rollbackPartial()
-    initBloom()
+    ensureBloomTier()
     var round = lastCommittedGeneration
     var executed = 0
     var remaining = currentRemaining(seedQueries)
@@ -167,7 +216,7 @@ final class CrawlEngine(
     * batch list); everything downstream is distributed.
     */
   def runGeneration(round: Int, batch: Seq[String]): Map[String, Long] = {
-    initBloom()
+    ensureBloomTier()
     val webCfg = cfg
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // phase timing (env GRAFT_PHASE_TIMING=1): finds serial driver floors
@@ -196,13 +245,16 @@ final class CrawlEngine(
     // NOT persisted: the candidate stream is a deterministic flatMap over a
     // tiny driver list — recomputing it for its consumers costs far less
     // than caching millions of Link rows (memory pressure at bench scale).
-    // One pass yields both the total count and the per-host mass (hot-host
-    // selection) — no second scan. The collect is O(distinct hosts touched
-    // this generation); at extreme host cardinality switch to a server-side
-    // orderBy/limit for hotNow plus df.observe for the total.
-    val hostCounts = candidates.toDF().groupBy($"host").count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val nCandidates = hostCounts.iterator.map(_._2).sum
+    // The generation total rides an observe() metric on the hot-host top-k
+    // job; the driver receives k host names, never host counts or URL sets.
+    val obs = new org.apache.spark.sql.Observation(
+      s"cand-$round-${Integer.toHexString(System.identityHashCode(this))}")
+    val hotNow: Set[String] = candidates.toDF()
+      .observe(obs, count(lit(1)).as("n"))
+      .groupBy($"host").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"host").limit(hotHostCount)
+      .select($"host").as[String].collect().toSet
+    val nCandidates = obs.get("n").asInstanceOf[Long]
     lap("candidates")
 
     // ---- D1: intra-batch first-seen-wins on deterministic ArrivalKey ----
@@ -212,43 +264,66 @@ final class CrawlEngine(
       .withColumn("rn", row_number().over(wHref)).filter($"rn" === 1).drop("rn")
 
     // ---- D1/J2: tiered routing (cuckoo hot tier → Bloom → exact anti-join)
-    // Hot hosts this generation = top-k by candidate mass; ensure each has
-    // a cuckoo filter seeded from the seen table (lazy, cached across
-    // generations). Routing never decides membership positively: any
-    // "maybe seen" goes through the exact anti-join, so FPs cost a shuffled
-    // row, never a dropped URL.
-    val hotNow = hostCounts.sortBy { case (h, n) => (-n, h) }
-      .take(hotHostCount).map(_._1).toSet
-    val missing = hotNow -- cuckoos.keySet
-    if (missing.nonEmpty) {
-      val seedRows: Map[String, Array[String]] = seenT.read(spark) match {
-        case None => Map.empty
-        case Some(seenDf) =>
-          seenDf.filter($"host".isin(missing.toSeq: _*))
-            .select($"host", $"href").as[(String, String)].collect()
-            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      }
-      cuckoos = cuckoos ++ missing.map { h =>
-        val urls = seedRows.getOrElse(h, Array.empty[String])
-        val cf = graft.operators.CuckooFilter.sized(math.max(1024L, urls.length * 4L))
-        urls.foreach(cf.insert)
-        h -> cf
-      }
-    }
+    // Hot hosts this generation = server-side top-k by candidate mass; newly
+    // hot hosts get a cuckoo filter BUILT EXECUTOR-SIDE from the seen table
+    // (groupByKey + streaming inserts — a hot host's URL set never reaches
+    // the driver). Routing never decides membership positively: any "maybe
+    // seen" goes through the exact anti-join, so FPs cost a shuffled row,
+    // never a dropped URL.
+    val storedCuckoo = cuckooT.read(spark).getOrElse(emptyCuckooDf)
+    val tracked: Set[String] =
+      if (cuckooT.currentSnapshot.exists(_.rowCount > 0))
+        storedCuckoo.select($"host").as[String].collect().toSet // ≤ hotHostCount rows
+      else Set.empty
+    val missing = (hotNow -- tracked).toSeq.sorted
+    // the tier is live once any host has a filter or can get one built;
+    // when dormant (e.g. generation 1: nothing seen yet) every tier job —
+    // seed build, probe join, cogroup maintenance, table commit — is skipped
+    val cuckooActive = tracked.nonEmpty ||
+      (missing.nonEmpty && seenT.currentSnapshot.exists(_.rowCount > 0))
+    val cuckooDf = (if (missing.isEmpty || seenT.read(spark).isEmpty) storedCuckoo
+    else {
+      val seenDf = seenT.read(spark).get
+      val sizes: Map[String, Long] = seenDf.filter($"host".isin(missing: _*))
+        .groupBy($"host").count().as[(String, Long)].collect().toMap
+      val built = seenDf.filter($"host".isin(missing: _*))
+        .select($"host", $"href").as[(String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (h, it) =>
+          val cf = graft.operators.CuckooFilter.sized(
+            math.max(1024L, sizes.getOrElse(h, 0L) * 4))
+          it.foreach(t => cf.insert(t._2))
+          (h, cf.toBytes, cf.negativesAreExact)
+        }.toDF("host", "cf", "cf_exact")
+      storedCuckoo.unionByName(built)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     lap("cuckoo-seed")
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val cuckooBc = spark.sparkContext.broadcast(cuckoos)
-    val mightContain = udf { (href: String, host: String) =>
-      cuckooBc.value.get(host) match {
-        case Some(cf) if cf.negativesAreExact => cf.contains(href)
-        case _ => bloomBc.value.mightContain(href)
-      }
-    }
+
+    // Probe = joins to the tier tables + codegen'd native expressions (no
+    // Scala UDF): candidates pick up their bucket's Bloom blob (explicitly
+    // broadcast while the tier is small; at 10^10 scale the tier exceeds
+    // tierBroadcastBytes and the join co-partitions on the bucket key) and
+    // their host's cuckoo filter (≤ hotHostCount rows, always broadcast).
     val newLinks = (seenT.read(spark) match {
       case None => firstSeen
       case Some(seenDf) =>
-        val defNew = firstSeen.filter(!mightContain($"href", $"host"))
-        val maybe = firstSeen.filter(mightContain($"href", $"host"))
+        val bloomDf0 = bloomT.read(spark).getOrElse(emptyBloomDf)
+        val bloomBytes = (bloomBlocks.toLong * 64 + 1) * bloomBuckets
+        val bloomDf = if (bloomBytes <= tierBroadcastBytes) broadcast(bloomDf0) else bloomDf0
+        val bloomProbed = firstSeen
+          .withColumn("bucket", bucketCol($"href"))
+          .join(bloomDf, Seq("bucket"), "left")
+        val probed = (if (cuckooActive) {
+          bloomProbed.join(broadcast(cuckooDf), Seq("host"), "left")
+            .withColumn("maybe_seen",
+              when($"cf_exact" === true, expr("cuckoo_contains(cf, href)"))
+                .otherwise(expr("bloom_might_contain(bits, href)")))
+            .drop("cf", "cf_exact")
+        } else {
+          bloomProbed.withColumn("maybe_seen", expr("bloom_might_contain(bits, href)"))
+        }).drop("bucket", "bits")
+        val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
+        val maybe = probed.filter($"maybe_seen").drop("maybe_seen")
           .join(seenDf.select($"href"), Seq("href"), "left_anti")
         defNew.unionByName(maybe)
     }).persist(StorageLevel.MEMORY_AND_DISK)
@@ -389,15 +464,48 @@ final class CrawlEngine(
         .unionByName(updatedState)
       hostStateT.replace(newState, round)
     }
-    // distributed Bloom delta build rides the same concurrency window
-    val bloomF = Future(BlockedBloom.buildLike(seenDelta.select($"href").as[String], bloom))
+    // distributed Bloom-tier delta merge rides the same concurrency window:
+    // per-bucket delta filters aggregated executor-side, OR-merged into the
+    // stored tier by a full-outer join — the driver only flips the pointer
+    val (bloomCap, bloomNb) = (bloomCapacity, bloomBlocks)
+    val bloomF = Future {
+      val deltaBloom = seenDelta
+        .select(bucketCol($"href").as("bucket"), $"href")
+        .groupBy($"bucket").agg(expr(s"bloom_agg(href, $bloomNb, 7)").as("bits"))
+      val merged = bloomT.read(spark).getOrElse(emptyBloomDf)
+        .select($"bucket", $"bits".as("ob"))
+        .join(deltaBloom.select($"bucket", $"bits".as("db")), Seq("bucket"), "full_outer")
+        .select($"bucket", expr("bloom_or(ob, db)").as("bits"))
+      bloomT.replace(merged, round,
+        Map("capacity" -> bloomCap, "num_blocks" -> bloomNb.toLong))
+    }
+    // cuckoo-tier maintenance (same window): each tracked host's filter must
+    // stay a SUPERSET of that host's seen URLs or its exact-negative claim
+    // breaks — insert this generation's delta EXECUTOR-SIDE via cogroup;
+    // saturated filters are dropped (rebuilt 4× larger when next hot)
+    val cuckooF = if (!cuckooActive) Future.successful(()) else Future {
+      val cur = cuckooDf.as[(String, Array[Byte], Boolean)]
+      val deltaByHost = seenDelta.select($"host", $"href").as[(String, String)]
+      val updated = cur.groupByKey(_._1).cogroup(deltaByHost.groupByKey(_._1)) {
+        (h, fs, urls) =>
+          fs.nextOption() match {
+            case Some((_, bytes, true)) =>
+              val cf = graft.operators.CuckooFilter.fromBytes(bytes)
+              urls.foreach(u => cf.insert(u._2))
+              if (cf.negativesAreExact) Iterator((h, cf.toBytes, true))
+              else Iterator.empty
+            case _ => Iterator.empty // absent or saturated
+          }
+      }.toDF("host", "cf", "cf_exact")
+      cuckooT.replace(updated, round)
+    }
     val (seenMeta, linksMeta, eventsMeta, docsMeta, pdfMeta) = (
       Await.result(seenF, Duration.Inf), Await.result(linksF, Duration.Inf),
       Await.result(eventsF, Duration.Inf), Await.result(docsF, Duration.Inf),
       Await.result(pdfF, Duration.Inf))
     Await.result(imagesF, Duration.Inf); Await.result(pmF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
-    bloom.merge(Await.result(bloomF, Duration.Inf))
+    Await.result(bloomF, Duration.Inf); Await.result(cuckooF, Duration.Inf)
     lap("commits")
 
     val nNew = seenT.deltaRows(seenMeta) - nExpanded
@@ -413,15 +521,6 @@ final class CrawlEngine(
       "scheduled" -> nScheduled,
       "robots_blocked" -> (nKept - pdfT.deltaRows(pdfMeta) + nExpanded - nScheduled),
       "docs" -> nDocs)
-
-    // cuckoo invariant: each hot-host filter must stay a SUPERSET of that
-    // host's seen URLs or its exact-negative claim breaks — insert this
-    // generation's new URLs for tracked hosts (bounded: hot hosts only)
-    if (cuckoos.nonEmpty) {
-      seenDelta.filter($"host".isin(cuckoos.keySet.toSeq: _*))
-        .select($"host", $"href").as[(String, String)].collect()
-        .foreach { case (h, u) => cuckoos(h).insert(u) }
-    }
 
     // ---- frontier maintenance: (old - picked) + new discoveries ---------
     if (expandTopK > 0) {
@@ -445,7 +544,7 @@ final class CrawlEngine(
       .withColumn("generation", lit(round)), round) // commit point
     lap("metrics+barrier")
 
-    Seq[Dataset[_]](newLinks, kept, picks, sched, fetched, seenDelta)
+    Seq[Dataset[_]](newLinks, kept, picks, sched, fetched, seenDelta, cuckooDf)
       .foreach(_.unpersist())
     counters
   }

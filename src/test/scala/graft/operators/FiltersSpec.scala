@@ -44,13 +44,46 @@ class FiltersSpec extends AnyFunSuite {
     assert(fps < 20000 * 0.01, s"cuckoo fp rate too high: $fps")
   }
 
-  test("distributed bloom build over a Dataset equals local build") {
+  test("bloom_agg distributed build equals local build; byte probes agree") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
     val keys = (0 until 5000).map(i => s"u$i")
-    val dist = BlockedBloom.build(keys.toDS(), 5000)
-    val local = BlockedBloom.sized(5000)
+    val nb = BlockedBloom.blocksFor(5000, 10)
+    val blob = keys.toDF("k")
+      .agg(org.apache.spark.sql.functions.expr(s"bloom_agg(k, $nb, 7)"))
+      .head().getAs[Array[Byte]](0)
+    val local = BlockedBloom.sized(5000, bitsPerKey = 10)
     keys.foreach(local.add)
-    assert(dist.bits.sameElements(local.bits), "treeAggregate build must equal sequential build")
+    assert(blob.sameElements(local.toBytes),
+      "TypedImperativeAggregate build must equal sequential build")
+    // static byte-blob probe == instance probe, incl. absent keys
+    val utf = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(keys.forall(k => BlockedBloom.probeBytes(blob, utf(k))))
+    (0 until 2000).foreach { i =>
+      assert(BlockedBloom.probeBytes(blob, utf(s"absent$i")) ==
+        local.mightContain(s"absent$i"))
+    }
+    // or-merge in byte form == merge in object form
+    val b2 = BlockedBloom.sized(5000, bitsPerKey = 10)
+    (0 until 100).foreach(i => b2.add(s"v$i"))
+    val merged = BlockedBloom.orBytes(blob, b2.toBytes)
+    assert(BlockedBloom.fromBytes(merged).bitCount == local.merge(b2).bitCount)
+  }
+
+  test("cuckoo byte serialization round-trips; byte probe == instance probe") {
+    val cf = CuckooFilter.sized(5000)
+    val keys = (0 until 4000).map(i => s"https://hot.example/p$i")
+    keys.foreach(cf.insert)
+    val blob = cf.toBytes
+    assert(CuckooFilter.negativesExactBytes(blob) == cf.negativesAreExact)
+    val utf = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(keys.forall(k => CuckooFilter.containsBytes(blob, utf(k))))
+    (0 until 2000).foreach { i =>
+      assert(CuckooFilter.containsBytes(blob, utf(s"absent$i")) == cf.contains(s"absent$i"))
+    }
+    val rt = CuckooFilter.fromBytes(blob)
+    assert(rt.size == cf.size && rt.negativesAreExact == cf.negativesAreExact)
+    assert(keys.forall(rt.contains))
   }
 }
