@@ -2,88 +2,48 @@ package graft.functions
 
 import graft.model.{Span, SpanKind}
 import graft.util.Hashing
+import HtmlDom.Node
 
 /** Ordered, interleaved page extraction producing the input_hint span
-  * sequence. Re-expresses the reference's single-pass DOM extraction
-  * (app/utils/helper_classes.py:84-179 for text,
-  * app/core/scraper.py:213-319 for images) over the constrained one-element-
-  * per-line HTML subset emitted by the synthetic web generator.
+  * sequence. Re-expresses the reference's single-pass DOM extraction over a
+  * real (if minimal) DOM — nested elements, whitespace/attribute variance,
+  * content-area scoping and `<picture><source>` all behave like the
+  * reference, not just on the generator's one-element-per-line subset.
   *
-  * Semantics preserved from the reference:
-  *  - document order = element order; the markdown string is the ordered
-  *    parts list joined with "\n" (helper_classes.py:176-177)
-  *  - title → "# {t}\n", meta description → "*{c}*\n"
-  *    (helper_classes.py:116-124)
-  *  - h1..h6 → "#"*level + " " + text (helper_classes.py:132-142)
-  *  - <p> kept only when len(text) > 20 (helper_classes.py:146)
-  *  - list items "- {t}" / "1. {t}" with an empty markdown line after each
-  *    list (helper_classes.py:151-169)
-  *  - blockquote → "> {t}" (helper_classes.py:171-173)
-  *  - page summary = meta description else first <p> len > 50
-  *    (helper_classes.py:19-36)
-  *  - image URL resolution: srcset best-candidate by (\d+)(w|x) descriptor
-  *    (first maximal wins) else src, resolved against the page URL, then
-  *    validated (scraper.py:216-255, helper_classes.py:208-222)
+  * Semantics mirrored from the reference:
+  *  - content-area scoping: first `main`, else `article`, else a `div`
+  *    whose class matches content|main|article, else the whole document
+  *    (helper_classes.py:106-110)
+  *  - document order = element order; title → "# {t}\n", meta description →
+  *    "*{c}*\n" lead the sequence (helper_classes.py:116-124); h1..h6 →
+  *    "#"*level + " " + text (helper_classes.py:132-142); <p> kept only when
+  *    len(text) > 20 (helper_classes.py:146); list items "- {t}" / "1. {t}"
+  *    with an empty markdown line after each list (helper_classes.py:151-169);
+  *    blockquote → "> {t}" (helper_classes.py:171-173); nested matches are
+  *    emitted like find_all does (a <p> inside a <blockquote> appears in
+  *    both)
+  *  - text extraction = get_text(strip=True): stripped non-empty strings
+  *    joined with ""
+  *  - page summary = meta description / og:description / twitter:description
+  *    else first <p> with len > 50 (helper_classes.py:19-36)
+  *  - image URL resolution: `<picture><source srcset>` best candidate first
+  *    (scraper.py:231-238), else img srcset best (first maximal (\d+)(w|x)
+  *    descriptor; the ", " split quirk and python `if best:` truthiness are
+  *    preserved), else src; resolved against the page URL, then validated
+  *    (scraper.py:216-255)
   *  - per-page canonical image dedup keeping max w*h, first-maximal
   *    tie-break (scraper.py:302-317)
-  *  - image raw_caption = surrounding text: nearest prev text > 10 chars,
-  *    figcaption, caption-keyword sibling (next ≤3), nearest next text > 10
-  *    chars; joined, whitespace-collapsed, truncated at 1000 chars with "…"
-  *    (helper_classes.py:38-82)
+  *  - image raw_caption = surrounding text with the reference's sibling
+  *    walks: nearest prev/next sibling text (>10 chars, p/div/h1..h6 or
+  *    string siblings) climbing to the parent when siblings exhaust,
+  *    figcaption from the figure|picture ancestor, caption-keyword among
+  *    the next 3 p/div/span siblings; joined, whitespace-collapsed,
+  *    truncated at 1000 chars with "…" (helper_classes.py:38-82)
   *
-  * Documented simplifications vs the reference (constrained-subset pages
-  * make these exact over generator output): no main/article content scoping,
-  * sibling walks are flat element-list walks, <picture><source> is folded
-  * into img@srcset.
+  * Remaining documented simplification: no HTML entity decoding (the
+  * generator emits none; a production build would decode at tokenize time).
   */
 object SpanExtractor {
-
-  sealed trait Elem { def text: String }
-  final case class Title(text: String) extends Elem
-  final case class Meta(text: String) extends Elem
-  final case class Heading(level: Int, text: String) extends Elem
-  final case class Para(text: String) extends Elem
-  final case class ListEl(ordered: Boolean, items: Seq[String]) extends Elem { def text: String = items.mkString(" ") }
-  final case class Quote(text: String) extends Elem
-  final case class Img(src: String, alt: String, titleAttr: String, srcset: Option[String], figcaption: Option[String]) extends Elem { def text: String = alt }
-  final case class Anchor(href: String, text: String) extends Elem
-
-  private val TitleR = "<title>(.*?)</title>".r
-  private val MetaR = """<meta name="description" content="(.*?)">""".r
-  private val HeadR = "<h([1-6])>(.*?)</h[1-6]>".r
-  private val ParaR = "<p>(.*?)</p>".r
-  private val ListR = "<(ul|ol)>(.*)</(?:ul|ol)>".r
-  private val LiR = "<li>(.*?)</li>".r
-  private val QuoteR = "<blockquote>(.*?)</blockquote>".r
-  private val FigR = """<figure>(<img [^>]*>)<figcaption>(.*?)</figcaption></figure>""".r
-  private val ImgR = "<img ([^>]*)>".r
-  private val AttrR = """(\w+)="([^"]*)"""".r
-  private val AnchorR = """<a href="([^"]*)">(.*?)</a>""".r
-
-  def parse(html: String): Seq[Elem] =
-    html.split("\n").toSeq.flatMap(parseLine)
-
-  private def parseImg(tag: String, figcaption: Option[String]): Option[Img] = {
-    ImgR.findFirstMatchIn(tag).map { m =>
-      val attrs = AttrR.findAllMatchIn(m.group(1)).map(a => a.group(1) -> a.group(2)).toMap
-      Img(attrs.getOrElse("src", ""), attrs.getOrElse("alt", ""),
-        attrs.getOrElse("title", ""), attrs.get("srcset"), figcaption)
-    }
-  }
-
-  private def parseLine(line: String): Option[Elem] = line match {
-    case TitleR(t) => Some(Title(t.trim))
-    case MetaR(c) => Some(Meta(c.trim))
-    case HeadR(lvl, t) => Some(Heading(lvl.toInt, t.trim))
-    case ParaR(t) => Some(Para(t.trim))
-    case ListR(tag, inner) =>
-      Some(ListEl(tag == "ol", LiR.findAllMatchIn(inner).map(_.group(1).trim).filter(_.nonEmpty).toSeq))
-    case QuoteR(t) => Some(Quote(t.trim))
-    case FigR(img, cap) => parseImg(img, Some(cap.trim))
-    case l if l.startsWith("<img ") => parseImg(l, None)
-    case AnchorR(href, t) => Some(Anchor(href, t.trim))
-    case _ => None
-  }
 
   final case class ImageRec(
       image_url: String,
@@ -103,24 +63,49 @@ object SpanExtractor {
       images: Vector[ImageRec], // canonical-dedup winners, first-key order (scraper.py:312-317)
       markdown: String)
 
+  private val ContentTags = Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "ol", "blockquote")
+  private val TextTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5", "h6")
+  private val ClassScopeRe = "content|main|article".r
+
   /** Full extraction: HTML → interleaved span sequence + derived fields. */
   def extract(pageUrl: String, html: String): PageExtract = {
-    val elems = parse(html).toVector
+    val root = HtmlDom.parse(html)
+    val all = root.elements
 
-    val pageTitle = elems.collectFirst { case Title(t) => t }.getOrElse("")
-    val pageSummary = elems.collectFirst { case Meta(c) if c.nonEmpty => c }
-      .orElse(elems.collectFirst { case Para(t) if t.length > 50 => t })
+    val pageTitle = all.find(_.tag == "title").map(_.textStrip).getOrElse("")
+    def meta(key: String, value: String): Option[String] =
+      all.find(n => n.tag == "meta" && n.attrs.get(key).contains(value))
+        .flatMap(_.attrs.get("content")).map(_.trim).filter(_.nonEmpty)
+    val metaDesc = meta("name", "description")
+    val pageSummary = metaDesc
+      .orElse(meta("property", "og:description"))
+      .orElse(meta("name", "twitter:description"))
+      .orElse(all.iterator.filter(_.tag == "p").map(_.textStrip).find(_.length > 50))
       .getOrElse("")
 
-    val links = elems.collect { case Anchor(href, t) if t.nonEmpty && href.nonEmpty => (t, href) }
+    val links = all.iterator
+      .filter(n => n.tag == "a" && n.attrs.contains("href"))
+      .map(n => (n.textStrip, n.attrs("href")))
+      .filter { case (t, h) => t.nonEmpty && h.nonEmpty }
+      .toVector
+
+    // ---- content-area scoping (helper_classes.py:106-110) --------------
+    val mainContent: Node = all.find(_.tag == "main")
+      .orElse(all.find(_.tag == "article"))
+      .orElse(all.find(n => n.tag == "div" && n.attrs.get("class").exists(cls =>
+        cls.split("\\s+").exists(c => ClassScopeRe.findFirstIn(c).isDefined))))
+      .getOrElse(root)
+
+    val contentEls = mainContent.findAll(ContentTags)
 
     // ---- image records (G2), validated (P6), canonical-deduped (D4) ----
-    val imgRecs: Vector[ImageRec] = elems.zipWithIndex.collect { case (img: Img, i) =>
+    val imgRecs: Vector[ImageRec] = all.filter(_.tag == "img").flatMap { img =>
       resolveImageUrl(pageUrl, img).filter(Predicates.isValidImageUrl).map { u =>
         val (w, h) = UrlFunctions.parseResolution(u)
-        ImageRec(u, img.alt, img.titleAttr, surroundingText(elems, i), i, w, h)
+        ImageRec(u, img.attrs.getOrElse("alt", "").trim,
+          img.attrs.getOrElse("title", "").trim, surroundingText(img), img.index, w, h)
       }
-    }.flatten
+    }
 
     // group by canonical key preserving first-seen group order; keep the
     // FIRST record attaining max area (python max semantics, scraper.py:314)
@@ -140,54 +125,103 @@ object SpanExtractor {
     def add(kind: String, text: String, media: String = null): Unit = {
       spans += Span(kind, text, media, off); off += 1
     }
-    elems.zipWithIndex.foreach {
-      case (Title(t), _) if t.nonEmpty => add(SpanKind.Title, s"# $t")
-      case (Meta(c), _) if c.nonEmpty => add(SpanKind.Meta, s"*$c*")
-      case (Heading(lvl, t), _) if t.nonEmpty => add(SpanKind.Heading, ("#" * lvl) + " " + t)
-      case (Para(t), _) if t.length > 20 => add(SpanKind.Para, t)
-      case (ListEl(ordered, items), _) if items.nonEmpty =>
-        val prefix = if (ordered) "1. " else "- "
-        items.foreach(it => add(SpanKind.ListItem, prefix + it))
-      case (Quote(t), _) if t.nonEmpty => add(SpanKind.Quote, s"> $t")
-      case (_: Img, i) if winners.contains(i) =>
-        val w = winners(i)
-        add(SpanKind.Image, w.raw_caption, w.image_url)
-      case _ => ()
+    if (pageTitle.nonEmpty) add(SpanKind.Title, s"# $pageTitle")
+    metaDesc.foreach(c => add(SpanKind.Meta, s"*$c*"))
+    // content elements (scoped) and images (whole doc) merged by preorder
+    // document position — the interleaved sequence the input_hint requires
+    val events: Vector[Node] =
+      (contentEls ++ all.filter(n => n.tag == "img" && winners.contains(n.index)))
+        .sortBy(_.index)
+    events.foreach { n =>
+      n.tag match {
+        case "img" =>
+          val w = winners(n.index)
+          add(SpanKind.Image, w.raw_caption, w.image_url)
+        case "p" =>
+          val t = n.textStrip
+          if (t.length > 20) add(SpanKind.Para, t)
+        case "ul" | "ol" =>
+          val prefix = if (n.tag == "ol") "1. " else "- "
+          n.findAll(Set("li")).map(_.textStrip).filter(_.nonEmpty)
+            .foreach(it => add(SpanKind.ListItem, prefix + it))
+        case "blockquote" =>
+          val t = n.textStrip
+          if (t.nonEmpty) add(SpanKind.Quote, s"> $t")
+        case h if h.startsWith("h") =>
+          val t = n.textStrip
+          if (t.nonEmpty) add(SpanKind.Heading, ("#" * h.drop(1).toInt) + " " + t)
+        case _ => ()
+      }
     }
     val spanSeq = spans.result()
-    PageExtract(pageUrl, pageTitle, pageSummary, spanSeq, links, winnersOrdered, renderMarkdown(spanSeq))
+    PageExtract(pageUrl, pageTitle, pageSummary, spanSeq, links, winnersOrdered,
+      renderMarkdown(spanSeq))
   }
 
-  /** Resolve the image URL: srcset best candidate else src, urljoin'd
-    * (scraper.py:229-253). Returns None when no src at all.
+  /** Resolve the image URL (scraper.py:229-253): highest-res
+    * `<picture><source srcset>` first, then img srcset, then plain src —
+    * each srcset pick subject to python truthiness (an empty-string best
+    * candidate, the ", " split quirk, falls through).
     */
-  def resolveImageUrl(pageUrl: String, img: Img): Option[String] = {
-    // python truthiness: `if best:` — an empty-string best candidate (the
-    // reference's ", "-separated srcset quirk) falls through to plain src
-    val fromSrcset = img.srcset
+  def resolveImageUrl(pageUrl: String, img: Node): Option[String] = {
+    val fromPicture = img.ancestor(Set("picture")).flatMap { pic =>
+      pic.findAll(Set("source")).iterator
+        .flatMap(_.attrs.get("srcset").filter(_.nonEmpty))
+        .flatMap(ss => UrlFunctions.pickBest(UrlFunctions.parseSrcset(ss)).filter(_.nonEmpty))
+        .nextOption()
+    }
+    val fromSrcset = img.attrs.get("srcset").filter(_.nonEmpty)
       .flatMap(ss => UrlFunctions.pickBest(UrlFunctions.parseSrcset(ss)))
       .filter(_.nonEmpty)
-    fromSrcset.orElse(if (img.src.nonEmpty) Some(img.src) else None)
+    fromPicture.orElse(fromSrcset)
+      .orElse(img.attrs.get("src").filter(_.nonEmpty))
       .map(u => UrlFunctions.urljoin(pageUrl, u))
   }
 
-  /** Surrounding text (helper_classes.py:38-82), flat-element-list form.
-    * Order: prev, figcaption, caption-keyword sibling, next.
+  /** Surrounding text (helper_classes.py:38-82) with the reference's walk:
+    * prev sibling scan (climbing to the parent chain when siblings exhaust,
+    * stopping at html/body/document), figcaption from the figure|picture
+    * ancestor, caption-keyword among the next 3 p/div/span siblings, next
+    * sibling scan. String siblings count (NavigableString branch).
     */
-  def surroundingText(elems: Vector[Elem], idx: Int, maxChars: Int = 1000): String = {
-    def textOf(e: Elem): String = e match {
-      case Para(t) => t
-      case Heading(_, t) => t
+  def surroundingText(img: Node, maxChars: Int = 1000): String = {
+    def textOf(c: Either[Node, String]): String = c match {
+      case Right(s) => s.trim
+      case Left(n) if TextTags(n.tag) => n.textStrip
       case _ => ""
     }
-    val prev = elems.take(idx).reverseIterator.map(textOf).find(t => t.length > 10)
-    val next = elems.drop(idx + 1).iterator.map(textOf).find(t => t.length > 10)
-    val fig = elems(idx) match { case img: Img => img.figcaption.filter(_.nonEmpty); case _ => None }
-    val kwSib = elems.slice(idx + 1, idx + 4).collectFirst {
-      case Para(t) if Seq("caption", "image", "photo", "picture", "source")
-        .exists(k => t.toLowerCase.contains(k)) => t
+
+    def nearby(start0: Node, prevDir: Boolean): Option[String] = {
+      var start = start0
+      var pos = start.childPos
+      var parent = start.parent
+      while (true) {
+        pos = if (prevDir) pos - 1 else pos + 1
+        if (pos < 0 || pos >= parent.children.length) {
+          val up = start.parent
+          if (up != null && up.tag != "html" && up.tag != "body" && up.tag != "[document]") {
+            start = up; parent = start.parent; pos = start.childPos
+          } else return None
+        } else {
+          val t = textOf(parent.children(pos))
+          if (t.length > 10) return Some(t)
+        }
+      }
+      None
     }
-    val joined = (prev.toSeq ++ fig.toSeq ++ kwSib.toSeq ++ next.toSeq)
+
+    val fig = img.ancestor(Set("figure", "picture"))
+      .flatMap(_.findAll(Set("figcaption")).headOption)
+      .map(_.textStrip).filter(_.nonEmpty)
+
+    val kwSib = img.parent.children.iterator.drop(img.childPos + 1)
+      .collect { case Left(n) if Set("p", "div", "span")(n.tag) => n.textStrip }
+      .take(3)
+      .find(t => t.nonEmpty && Seq("caption", "image", "photo", "picture", "source")
+        .exists(k => t.toLowerCase.contains(k)))
+
+    val joined = (nearby(img, prevDir = true).toSeq ++ fig.toSeq ++ kwSib.toSeq ++
+      nearby(img, prevDir = false).toSeq)
       .mkString(" ").replaceAll("\\s+", " ")
     joined.take(maxChars) + (if (joined.length > maxChars) "…" else "")
   }

@@ -101,9 +101,12 @@ class SpanExtractorSpec extends AnyFunSuite {
         |<p>look at this photo of the city</p>""".stripMargin
     val ex = SpanExtractor.extract(pageUrl, html)
     val img = ex.spans.filter(_.kind == SpanKind.Image).head
-    // order: prev, figcaption, keyword-sib, next (keyword-sib == next here)
+    // order: prev, figcaption, next. The keyword-sibling scan walks the
+    // img's REAL siblings (inside <figure> there are none of p/div/span),
+    // faithful to find_next_siblings in helper_classes.py:72-76 — round 1's
+    // flat-list walk found the outside paragraph twice.
     assert(img.text == "previous paragraph with plenty of text the caption " +
-      "look at this photo of the city look at this photo of the city")
+      "look at this photo of the city")
     // cap at 1000 chars + ellipsis
     val longText = "x" * 600
     val html2 = s"""<title>T</title>
@@ -112,6 +115,106 @@ class SpanExtractorSpec extends AnyFunSuite {
         |<p>$longText</p>""".stripMargin
     val cap = SpanExtractor.extract(pageUrl, html2).spans.filter(_.kind == SpanKind.Image).head.text
     assert(cap.length == 1001 && cap.endsWith("…"))
+  }
+
+  test("nested/messy HTML: wrappers, whitespace, attribute variance, implied closes") {
+    val html =
+      """<html><head>
+        |  <TITLE>  Messy Page </TITLE>
+        |  <meta   content='the description'   name="description" >
+        |</head><body>
+        |<div id="nav"><ul><li>nav item that is ignored? no - find_all sees it</li></ul></div>
+        |<div class="site-content">
+        |  <h2>
+        |     Section   One</h2>
+        |  <p>this paragraph is <b>long</b> enough to survive the filter ok</p>
+        |  <ul>
+        |    <li>alpha
+        |    <li>beta</ul>
+        |  <blockquote>a quote with plenty of text inside</blockquote>
+        |</div>
+        |</body></html>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    assert(ex.pageTitle == "Messy Page")
+    assert(ex.pageSummary == "the description")
+    // content scoping: the nav <ul> outside div.site-content is NOT emitted
+    val kinds = ex.spans.map(_.kind)
+    assert(kinds == Vector("title", "meta", "heading", "para", "list_item",
+      "list_item", "quote"))
+    // get_text(strip=True): each string trimmed at its EDGES (internal
+    // whitespace kept), empty dropped, joined with ""
+    assert(ex.spans(2).text == "## Section   One")
+    assert(ex.spans(3).text == "this paragraph islongenough to survive the filter ok")
+    assert(ex.spans(4).text == "- alpha" && ex.spans(5).text == "- beta")
+    assert(ex.spans(6).text == "> a quote with plenty of text inside")
+  }
+
+  test("content scoping prefers main over article over div[class~content]") {
+    val html =
+      """<title>T</title>
+        |<article><p>article paragraph long enough to be emitted yes</p></article>
+        |<main><p>main paragraph long enough to be emitted indeed</p></main>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val paras = ex.spans.filter(_.kind == SpanKind.Para).map(_.text)
+    assert(paras == Vector("main paragraph long enough to be emitted indeed"))
+  }
+
+  test("picture>source srcset wins over img srcset and src (scraper.py:231-246)") {
+    val html =
+      """<title>T</title>
+        |<picture>
+        |  <source srcset=" s1-320x200.jpg 9999w">
+        |  <source srcset="https://host1.example/images/s2-1280x800.jpg 1280w">
+        |  <img src="https://host1.example/images/fallback-640x400.jpg" alt="x">
+        |</picture>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val img = ex.spans.filter(_.kind == SpanKind.Image).head
+    // first <source>'s leading-space split quirk yields best="" (falsy) ->
+    // the loop advances to the second source (scraper.py:233-238)
+    assert(img.media_ref == "https://host1.example/images/s2-1280x800.jpg")
+  }
+
+  test("nested elements: p inside blockquote emitted by both (find_all semantics)") {
+    val html =
+      """<title>T</title>
+        |<blockquote><p>a nested paragraph that is long enough to pass</p></blockquote>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val kinds = ex.spans.map(_.kind)
+    assert(kinds == Vector("title", "quote", "para"))
+    assert(ex.spans(1).text == "> a nested paragraph that is long enough to pass")
+  }
+
+  test("surrounding text climbs out of wrapper divs to find context") {
+    val html =
+      """<title>T</title>
+        |<p>context paragraph before the wrapped image</p>
+        |<div><div><img src="https://host1.example/images/img7-640x400.jpg" alt="deep"></div></div>
+        |<p>context paragraph after the wrapped image</p>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    val img = ex.spans.filter(_.kind == SpanKind.Image).head
+    assert(img.text == "context paragraph before the wrapped image " +
+      "context paragraph after the wrapped image")
+  }
+
+  test("messy-wrapper property: generator page content survives div nesting intact") {
+    import graft.synth.{SyntheticWeb, WebConfig}
+    val cfg = WebConfig(seed = 11, nHosts = 20)
+    for (i <- 1 to 8) {
+      val url = SyntheticWeb.pageUrl(cfg, 1 + i % 10, i.toLong)
+      SyntheticWeb.fetch(cfg, url).foreach { flat =>
+        val base = SpanExtractor.extract(url, flat)
+        // wrap the whole body in nested wrapper divs + noise: spans must be
+        // IDENTICAL (wrappers don't scope: class carries no content keyword)
+        val messy = "<div id=\"outer\">\n<div class=\"wrapper\">\n" +
+          flat.replace("\n", "\n  ") +
+          "\n</div><!-- trailing comment --></div><script>var x = '<p>no</p>';</script>"
+        val wrapped = SpanExtractor.extract(url, messy)
+        assert(wrapped.spans == base.spans, s"spans diverged for $url")
+        assert(wrapped.pageTitle == base.pageTitle && wrapped.pageSummary == base.pageSummary)
+        assert(wrapped.links == base.links)
+        assert(wrapped.markdown == base.markdown)
+      }
+    }
   }
 
   test("generator pages round-trip deterministically (FIXTURES §1 invertibility)") {
