@@ -27,6 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 64g default: the machine has 128 GiB and the bench is GC-bound below
-  // ~16g (string-heavy extraction); override with SPARK_DRIVER_MEM
+  // ~16g (string-heavy extraction); override with SPARK_DRIVER_MEM.
+  // -Xms == -Xmx: without it G1 uncommits after System.gc() between bench
+  // phases and the 32-thread phase page-faults the heap back in — measured
+  // as 50-90% SYSTEM cpu (kernel page zeroing) that serialized the
+  // high-parallelism run and wrecked scaling efficiency.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -52,43 +52,90 @@ object Similarity {
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce((a, b) => a + b)
 
+  /** Squared L2 distance of an Array[Float] column to a literal centroid
+    * (codegen'd, no UDF).
+    */
+  private def distTo(vec: Column, centroid: Array[Float]): Column = {
+    val lits = array(centroid.map(v => lit(v.toDouble)): _*)
+    aggregate(zip_with(vec, lits, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0d), (acc, x) => acc + x)
+  }
+
+  /** cells ranked by distance: array of struct(dist, cell) sorted asc. */
+  private def rankedCells(vec: Column, codebook: Array[Array[Float]]): Column =
+    array_sort(array(codebook.zipWithIndex.map { case (cen, i) =>
+      struct(distTo(vec, cen).as("dist"), lit(i).as("cell"))
+    }: _*))
+
+  /** Deterministic seed centroids: the nlist corpus vectors with smallest
+    * hash(id) — a seeded sample, stable under partitioning.
+    */
+  def sampledCodebook(corpus: DataFrame, nlist: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
+      .orderBy("h", "cid").limit(nlist)
+      .select("cvec").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Lloyd's k-means codebook over a deterministic hash-sample of the
+    * corpus (the standard IVF training recipe: the codebook needs a
+    * representative sample, never the full 100-TB corpus). Per iteration:
+    * assignment is the codegen'd literal-centroid argmin, the centroid
+    * update is a (cell, dim)-keyed mean over the posexploded sample; the
+    * driver only ever holds the nlist×dim codebook. Empty cells keep their
+    * previous centroid. Deterministic: seed sample + hash-sample + fixed
+    * iteration count, no RNG.
+    */
+  def kmeansCodebook(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                     sampleN: Int = 4096, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Float]] = {
+    var codebook = sampledCodebook(corpus, nlist, idCol, vecCol)
+    require(codebook.nonEmpty, "corpus must be non-empty")
+    if (iters <= 0) return codebook
+    val sample = corpus
+      .select(col(vecCol).as("vec"), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(sampleN).select("vec")
+      .persist()
+    sample.count()
+    for (_ <- 0 until iters) {
+      // two selects: a generator (posexplode) in the same projection makes
+      // the analyzer strip the struct aliases rankedCells' getField needs
+      val assigned = sample.select(col("vec"),
+        rankedCells(col("vec"), codebook).getItem(0).getField("cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val arr = new Array[Float](rows.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+          cell -> arr
+        }
+      codebook = codebook.indices.map(i => means.getOrElse(i, codebook(i))).toArray
+    }
+    sample.unpersist()
+    codebook
+  }
+
   /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells by
-    * nearest seeded centroid; a query exact-ranks only the `nprobe` nearest
-    * cells. Centroids here are a deterministic corpus sample (IVF-flat with
-    * sampled codebook — at real scale the codebook comes from k-means, the
-    * assignment/probe plan is identical). Cell assignment is a codegen'd
-    * argmin over literal centroid arrays — no UDF; the probe join shuffles
-    * on cell id only.
+    * nearest centroid; a query exact-ranks only the `nprobe` nearest cells.
+    * The codebook is k-means-trained on a hash-sample ([[kmeansCodebook]];
+    * set kmeansIters=0 for the raw sampled codebook). Cell assignment is a
+    * codegen'd argmin over literal centroid arrays — no UDF; the probe join
+    * shuffles on cell id only.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    // deterministic codebook: the nlist corpus vectors with smallest
-    // hash(id) — a seeded sample, stable under partitioning
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              kmeansIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val sampled = corpus
-      .select(c(idCol).as("cid"), c(vecCol).as("cvec"), xxhash64(c(idCol)).as("h"))
-      .orderBy("h").limit(nlist)
-      .select("cid", "cvec").collect()
-      .map(r => r.getSeq[Float](1).toArray)
-    require(sampled.nonEmpty, "corpus must be non-empty")
-
-    def distTo(vec: Column, centroid: Array[Float]): Column = {
-      val lits = array(centroid.map(v => lit(v.toDouble)): _*)
-      aggregate(zip_with(vec, lits, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0d), (acc, x) => acc + x)
-    }
-    /** cells ranked by distance: array of struct(dist, cell) sorted asc. */
-    def rankedCells(vec: Column): Column =
-      array_sort(array(sampled.zipWithIndex.map { case (cen, i) =>
-        struct(distTo(vec, cen).as("dist"), lit(i).as("cell"))
-      }: _*))
+    val codebook = kmeansCodebook(corpus, nlist, kmeansIters, idCol = idCol, vecCol = vecCol)
 
     val cCells = corpus.select(c(idCol).as("neighbor_id"), c(vecCol).as("nvec"),
-      rankedCells(c(vecCol)).getItem(0).getField("cell").as("cell"))
+      rankedCells(c(vecCol), codebook).getItem(0).getField("cell").as("cell"))
     val qCells = queries.select(c(idCol).as("query_id"), c(vecCol).as("qvec"),
-      explode(transform(slice(rankedCells(c(vecCol)), 1, math.min(nprobe, sampled.length)),
+      explode(transform(slice(rankedCells(c(vecCol), codebook), 1, math.min(nprobe, codebook.length)),
         s => s.getField("cell"))).as("cell"))
     val scored = qCells.join(cCells, Seq("cell"))
       .filter(c("query_id") =!= c("neighbor_id"))

@@ -44,9 +44,10 @@ import org.apache.spark.storage.StorageLevel
   *    host's URL set, only ≤hotHostCount serialized filters) and MAINTAINED
   *    executor-side (cogroup with each generation's seen delta); saturated
   *    filters are dropped and rebuilt larger next generation;
-  *  - per-generation totals come from `observe()` metrics and hot-host
-  *    selection from a server-side top-k (`orderBy.limit(k)`) — no
-  *    O(distinct hosts) or O(|seen|) collect anywhere in a generation;
+  *  - per-generation totals come from one narrow count job (map-side
+  *    partials only) and hot-host selection from a server-side top-k over
+  *    the host_state statistics (`orderBy.limit(k)`, k rows to the driver)
+  *    — no O(distinct hosts) or O(|seen|) collect anywhere in a generation;
   *  - politeness is a window over hash(host) partitioning: slot j of host h
   *    is scheduled at next_free(h) + j*min_delay(h) — per-host state never
   *    crosses partitions;
@@ -158,7 +159,12 @@ final class CrawlEngine(
         math.max(1L, capacity / bloomBuckets), bloomBitsPerKey)
       val df = seenT.read(spark) match {
         case Some(seenDf) =>
+          // pre-shuffle on the bucket key: each task then PARTIALLY
+          // aggregates only its own buckets' filters (without this, every
+          // map task allocates+shuffles one full-size bloom buffer per
+          // bucket — O(tasks × buckets × bufferBytes) at high parallelism)
           seenDf.select(bucketCol($"href").as("bucket"), $"href")
+            .repartition($"bucket")
             .groupBy($"bucket").agg(expr(s"bloom_agg(href, $nb, 7)").as("bits"))
         case None => emptyBloomDf
       }
@@ -245,17 +251,26 @@ final class CrawlEngine(
     // NOT persisted: the candidate stream is a deterministic flatMap over a
     // tiny driver list — recomputing it for its consumers costs far less
     // than caching millions of Link rows (memory pressure at bench scale).
-    // The generation total rides an observe() metric on the hot-host top-k
-    // job; the driver receives k host names, never host counts or URL sets.
-    val obs = new org.apache.spark.sql.Observation(
-      s"cand-$round-${Integer.toHexString(System.identityHashCode(this))}")
-    val hotNow: Set[String] = candidates.toDF()
-      .observe(obs, count(lit(1)).as("n"))
-      .groupBy($"host").agg(count(lit(1)).as("cnt"))
-      .orderBy($"cnt".desc, $"host").limit(hotHostCount)
-      .select($"host").as[String].collect().toSet
-    val nCandidates = obs.get("n").asInstanceOf[Long]
+    // The generation total (A1 counters) is ONE narrow count job — all
+    // map-side partial counts, no aggregation exchange, scales with cores
+    // (the old pre-pass carried a groupBy(host) whose O(hosts) per-task
+    // partial maps made it anti-scale at high parallelism).
+    val nCandidates = candidates.count()
     lap("candidates")
+
+    // Hot hosts = top-k by CUMULATIVE scheduled fetches from the host_state
+    // table (k rows via server-side orderBy/limit). Using the prior
+    // generations' stats instead of a current-batch pre-aggregation is the
+    // at-scale shape: hot hosts are stable across generations, and it
+    // removes a full O(candidates) pre-pass + O(hosts) partial-agg exchange
+    // per generation. Routing-only: membership stays with the exact tier.
+    val hotNow: Set[String] = hostStateT.read(spark) match {
+      case Some(hs) if hs.columns.contains("n_scheduled") =>
+        hs.orderBy($"n_scheduled".desc, $"host").limit(hotHostCount)
+          .select($"host").as[String].collect().toSet
+      case _ => Set.empty
+    }
+    lap("hot-hosts")
 
     // ---- D1: intra-batch first-seen-wins on deterministic ArrivalKey ----
     val arrival = Seq($"kind", $"query_rank", $"page", $"result_rank")
@@ -372,8 +387,14 @@ final class CrawlEngine(
     val allowed = htmlLinks
       .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow")), Seq("host"), "left")
       .filter(robotsAllowedCol($"href")).drop("robots_disallow")
-    val hostState = hostStateT.read(spark)
-      .getOrElse(Seq.empty[(String, Long)].toDF("host", "next_free_ms"))
+    // host_state carries (host, next_free_ms, n_scheduled); the politeness
+    // join only needs the clock column (n_scheduled feeds hot-host top-k)
+    val hostStateFull = hostStateT.read(spark) match {
+      case Some(df) if df.columns.contains("n_scheduled") => df
+      case Some(df) => df.withColumn("n_scheduled", lit(0L)) // pre-upgrade store
+      case None => Seq.empty[(String, Long, Long)].toDF("host", "next_free_ms", "n_scheduled")
+    }
+    val hostState = hostStateFull.select($"host", $"next_free_ms")
     val phaseA = allowed.select($"href", $"host", lit(0).as("phase"),
       $"kind", $"query_rank", $"page", $"result_rank", lit(0.0d).as("neg_score"))
     val phaseB = picks.select($"href", $"host", lit(1).as("phase"),
@@ -455,13 +476,19 @@ final class CrawlEngine(
     val docsF = Future(docsT.append(docsDf.toDF(), round))
     val imagesF = Future(imagesT.append(imagesDf.toDF(), round))
     val pmF = Future(partitionMetricsT.append(partMetrics, round))
-    // host_state: untouched hosts keep state; scheduled hosts advance —
+    // host_state: untouched hosts keep state; scheduled hosts advance and
+    // accumulate their lifetime fetch count (the hot-host top-k statistic) —
     // depends only on sched (persisted), so it rides the same window
     val hostF = Future {
       val updatedState = sched.groupBy($"host")
-        .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free_ms"))
-      val newState = hostState.join(updatedState, Seq("host"), "left_anti")
-        .unionByName(updatedState)
+        .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free"),
+          count(lit(1)).as("n_new"))
+      val newState = hostStateFull
+        .select($"host", $"next_free_ms".as("old_next"), $"n_scheduled".as("old_n"))
+        .join(updatedState, Seq("host"), "full_outer")
+        .select($"host",
+          coalesce($"next_free", $"old_next").as("next_free_ms"),
+          (coalesce($"old_n", lit(0L)) + coalesce($"n_new", lit(0L))).as("n_scheduled"))
       hostStateT.replace(newState, round)
     }
     // distributed Bloom-tier delta merge rides the same concurrency window:
@@ -471,6 +498,9 @@ final class CrawlEngine(
     val bloomF = Future {
       val deltaBloom = seenDelta
         .select(bucketCol($"href").as("bucket"), $"href")
+        // pre-shuffle by bucket (see ensureBloomTier): bounds the partial
+        // bloom buffers to the task's own buckets
+        .repartition($"bucket")
         .groupBy($"bucket").agg(expr(s"bloom_agg(href, $bloomNb, 7)").as("bits"))
       val merged = bloomT.read(spark).getOrElse(emptyBloomDf)
         .select($"bucket", $"bits".as("ob"))

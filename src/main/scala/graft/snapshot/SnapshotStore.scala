@@ -89,8 +89,18 @@ final class SnapshotTable(val root: Path, val name: String) {
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
     val dataDir = tableDir.resolve(s"data/s$id")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val newFiles = listParquet(dataDir).map { p =>
-      DataFileMeta(p.toString, parquetRows(p))
+    // footer row counts read in parallel: a generation at N shuffle
+    // partitions writes N part files per table — serial footer opens were
+    // an O(partitions) driver-side cost that grew with parallelism and ate
+    // into scaling efficiency
+    val newFiles = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(listParquet(dataDir))(p =>
+          Future(DataFileMeta(p.toString, parquetRows(p)))),
+        Duration.Inf)
     }
     val files = (if (replace) Nil else parent.map(_.files).getOrElse(Nil)) ++ newFiles
     val meta = SnapshotMeta(id, parent.map(_.snapshotId).getOrElse(-1L), generation,
