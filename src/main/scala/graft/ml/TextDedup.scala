@@ -77,6 +77,20 @@ object TextDedup {
           i => concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("tok"))
   }
 
+  /** Token table with string tokens replaced by 64-bit hashes: every
+    * downstream shuffle/join keys on 8 bytes instead of multi-word shingle
+    * strings (the standard at-scale trick — MinHash already lives on these
+    * hashes). Set-semantics are preserved up to 64-bit collisions
+    * (~n²/2⁶⁴ per document pair — negligible below ~10⁹ distinct shingles).
+    */
+  private def hashedToks(toks: DataFrame): DataFrame =
+    // lazy localCheckpoint: the (id, tok-hash) table is consumed by several
+    // shuffles (sizes, df-filter/self-join, verify sides) — materialize the
+    // expensive shingle explode once instead of once per consumer. Local
+    // mode / single-app only concern: blocks are freed by the context
+    // cleaner when the plan is GC'd.
+    toks.select($"id", xxhash64($"tok").as("tok")).localCheckpoint(false)
+
   /** Jaccard ≥ threshold pairs over any (id, tok) token table.
     *
     * Pair generation is a token-key SELF-JOIN (x.tok = y.tok, x.id < y.id):
@@ -85,17 +99,22 @@ object TextDedup {
     * expansion, no task ever materializes df² structs in memory, so a hot
     * token degrades throughput, not stability. Tokens above `maxDf` are
     * shed (logged): at threshold-level Jaccard they contribute negligible
-    * discrimination but quadratic work.
+    * discrimination but quadratic work. The document-frequency filter is a
+    * WINDOW count over hash(tok) partitioning — the exact partitioning the
+    * self-join needs, so Catalyst reuses one exchange for filter + both
+    * join sides instead of separate agg + semi-join shuffles.
     */
   def jaccardPairsFromTokens(toks: DataFrame, threshold: Double,
                              maxDf: Long = 10000L, logDrops: Boolean = true): DataFrame = {
-    val sizes = toks.groupBy($"id").agg(count(lit(1)).as("n"))
-    val dfs = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val t = hashedToks(toks)
+    val sizes = t.groupBy($"id").agg(count(lit(1)).as("n"))
     if (logDrops) {
-      val hot = dfs.filter($"df" > maxDf).count()
+      val hot = t.groupBy($"tok").agg(count(lit(1)).as("df")).filter($"df" > maxDf).count()
       logDrop("jaccard", s"tokens with df > $maxDf", hot)
     }
-    val keep = toks.join(dfs.filter($"df" <= maxDf).select($"tok"), Seq("tok"), "left_semi")
+    val keep = t.withColumn("df", count(lit(1)).over(Window.partitionBy($"tok")))
+      .filter($"df" <= maxDf).drop("df")
     val pairs = keep.as("x").join(keep.as("y"),
       col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b")).agg(count(lit(1)).as("shared"))
@@ -114,9 +133,10 @@ object TextDedup {
     * sketch-based candidate generator.
     */
   def verifyJaccard(pairs: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
-    val sizes = toks.groupBy($"id").agg(count(lit(1)).as("n"))
-    val ta = toks.select($"id".as("a"), $"tok")
-    val tb = toks.select($"id".as("b"), $"tok")
+    val t = hashedToks(toks)
+    val sizes = t.groupBy($"id").agg(count(lit(1)).as("n"))
+    val ta = t.select($"id".as("a"), $"tok")
+    val tb = t.select($"id".as("b"), $"tok")
     val shared = pairs.select($"a", $"b")
       .join(ta, Seq("a")).join(tb, Seq("b", "tok"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("shared"))

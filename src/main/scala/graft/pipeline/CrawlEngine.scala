@@ -447,12 +447,11 @@ final class CrawlEngine(
       .filter($"docs" > 0)
       .withColumn("generation", lit(round))
 
-    // materialize the shared caches EXACTLY ONCE before the concurrent
-    // commit window: Spark's block cache does not coordinate concurrent
-    // first-computation of the same partition, so racing consumers would
-    // redundantly re-run the dedup window / fetch+extract
+    // materialize the dedup cache EXACTLY ONCE before consumers fan out:
+    // Spark's block cache does not coordinate concurrent first-computation
+    // of the same partition, so racing consumers would redundantly re-run
+    // the dedup window
     newLinks.count()
-    fetched.count()
     lap("compute")
 
     // ---- commits (processed_queries LAST — K3 barrier) -----------------
@@ -460,42 +459,34 @@ final class CrawlEngine(
     // dirs, per-table atomic pointer flips; crash recovery handles any
     // committed subset). Per-generation counters come free from the
     // manifests' per-commit row deltas — no standalone count() jobs.
+    //
+    // Two-stage launch: the fetch+extract pass (the expensive one) is
+    // MATERIALIZED BY the documents write itself — no separate
+    // fetched.count() pass — while the futures that only need the dedup
+    // cache (seen/links/pdf/bloom/cuckoo) run concurrently with it; the
+    // consumers of sched/fetched (events/images/partition metrics/host
+    // state) launch after the docs write has warmed those caches.
     val seenDelta = newLinks.select($"href", $"host")
       .unionByName(picks.select($"href", $"host"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val seenF = Future(seenT.append(seenDelta, round))
-    val linksF = Future(linksT.append(kept.toDF(), round))
-    val pdfF = Future(pdfT.append(
-      pdfLinks.select($"href".as("url"), lit(round).as("generation")), round))
-    val eventsF = Future(eventsT.append(
-      sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
-        $"min_delay_ms", lit(round).as("round"), $"phase"), round))
-    val docsF = Future(docsT.append(docsDf.toDF(), round))
-    val imagesF = Future(imagesT.append(imagesDf.toDF(), round))
-    val pmF = Future(partitionMetricsT.append(partMetrics, round))
-    // host_state: untouched hosts keep state; scheduled hosts advance and
-    // accumulate their lifetime fetch count (the hot-host top-k statistic) —
-    // depends only on sched (persisted), so it rides the same window
-    val hostF = Future {
-      val updatedState = sched.groupBy($"host")
-        .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free"),
-          count(lit(1)).as("n_new"))
-      val newState = hostStateFull
-        .select($"host", $"next_free_ms".as("old_next"), $"n_scheduled".as("old_n"))
-        .join(updatedState, Seq("host"), "full_outer")
-        .select($"host",
-          coalesce($"next_free", $"old_next").as("next_free_ms"),
-          (coalesce($"old_n", lit(0L)) + coalesce($"n_new", lit(0L))).as("n_scheduled"))
-      hostStateT.replace(newState, round)
+    def timedF[T](name: String)(body: => T): Future[T] = Future {
+      val t = System.nanoTime()
+      val r = body
+      if (timing) println(f"[gen $round]   commit:$name%-12s ${(System.nanoTime() - t) / 1e9}%6.2fs")
+      r
     }
+    val seenF = timedF("seen")(seenT.append(seenDelta, round))
+    val linksF = timedF("links")(linksT.append(kept.toDF(), round))
+    val pdfF = timedF("pdf")(pdfT.append(
+      pdfLinks.select($"href".as("url"), lit(round).as("generation")), round))
     // distributed Bloom-tier delta merge rides the same concurrency window:
     // per-bucket delta filters aggregated executor-side, OR-merged into the
     // stored tier by a full-outer join — the driver only flips the pointer
     val (bloomCap, bloomNb) = (bloomCapacity, bloomBlocks)
-    val bloomF = Future {
+    val bloomF = timedF("bloom") {
       val deltaBloom = seenDelta
         .select(bucketCol($"href").as("bucket"), $"href")
         // pre-shuffle by bucket (see ensureBloomTier): bounds the partial
@@ -513,7 +504,7 @@ final class CrawlEngine(
     // stay a SUPERSET of that host's seen URLs or its exact-negative claim
     // breaks — insert this generation's delta EXECUTOR-SIDE via cogroup;
     // saturated filters are dropped (rebuilt 4× larger when next hot)
-    val cuckooF = if (!cuckooActive) Future.successful(()) else Future {
+    val cuckooF = if (!cuckooActive) Future.successful(()) else timedF("cuckoo") {
       val cur = cuckooDf.as[(String, Array[Byte], Boolean)]
       val deltaByHost = seenDelta.select($"host", $"href").as[(String, String)]
       val updated = cur.groupByKey(_._1).cogroup(deltaByHost.groupByKey(_._1)) {
@@ -529,10 +520,37 @@ final class CrawlEngine(
       }.toDF("host", "cf", "cf_exact")
       cuckooT.replace(updated, round)
     }
-    val (seenMeta, linksMeta, eventsMeta, docsMeta, pdfMeta) = (
+    // inline (not a future): writing docs computes the politeness schedule +
+    // salted fetch + span extraction INTO the sched/fetched caches
+    val docsMeta = {
+      val t = System.nanoTime()
+      val m = docsT.append(docsDf.toDF(), round)
+      if (timing) println(f"[gen $round]   commit:docs+fetch   ${(System.nanoTime() - t) / 1e9}%6.2fs")
+      m
+    }
+    val eventsF = timedF("events")(eventsT.append(
+      sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
+        $"min_delay_ms", lit(round).as("round"), $"phase"), round))
+    val imagesF = timedF("images")(imagesT.append(imagesDf.toDF(), round))
+    val pmF = timedF("partmetrics")(partitionMetricsT.append(partMetrics, round))
+    // host_state: untouched hosts keep state; scheduled hosts advance and
+    // accumulate their lifetime fetch count (the hot-host top-k statistic) —
+    // depends only on sched (persisted), so it rides the same window
+    val hostF = timedF("hoststate") {
+      val updatedState = sched.groupBy($"host")
+        .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free"),
+          count(lit(1)).as("n_new"))
+      val newState = hostStateFull
+        .select($"host", $"next_free_ms".as("old_next"), $"n_scheduled".as("old_n"))
+        .join(updatedState, Seq("host"), "full_outer")
+        .select($"host",
+          coalesce($"next_free", $"old_next").as("next_free_ms"),
+          (coalesce($"old_n", lit(0L)) + coalesce($"n_new", lit(0L))).as("n_scheduled"))
+      hostStateT.replace(newState, round)
+    }
+    val (seenMeta, linksMeta, eventsMeta, pdfMeta) = (
       Await.result(seenF, Duration.Inf), Await.result(linksF, Duration.Inf),
-      Await.result(eventsF, Duration.Inf), Await.result(docsF, Duration.Inf),
-      Await.result(pdfF, Duration.Inf))
+      Await.result(eventsF, Duration.Inf), Await.result(pdfF, Duration.Inf))
     Await.result(imagesF, Duration.Inf); Await.result(pmF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
     Await.result(bloomF, Duration.Inf); Await.result(cuckooF, Duration.Inf)
