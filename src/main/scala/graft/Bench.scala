@@ -32,6 +32,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the commit window runs ~10 concurrent write jobs; FIFO lets one
+      // job hog all task slots and serializes the window tail
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -50,13 +53,40 @@ object Bench {
   private val machineCores: Int = Runtime.getRuntime.availableProcessors()
 
   private def pinCpus(cores: Int): Unit = {
-    val mask = java.lang.Long.toHexString((1L << math.min(cores, 63)) - 1)
+    val n = math.min(cores, machineCores)
+    val mask = java.lang.Long.toHexString((1L << math.min(n, 63)) - 1)
     val pid = ProcessHandle.current().pid()
-    try {
-      val p = new ProcessBuilder("taskset", "-a", "-p", mask, pid.toString)
-        .redirectErrorStream(true).start()
-      p.waitFor()
-    } catch { case _: Exception => () } // no taskset → proceed unpinned
+    // VERIFY-AND-RETRY: `taskset -a -p` iterates /proc/<pid>/task and ABORTS
+    // partway when a thread exits mid-iteration (a constant hazard right
+    // after a SparkSession.stop()) — leaving most executor threads unpinned
+    // and the "N-core" phase secretly running on the whole machine. Re-run
+    // until every live thread's Cpus_allowed_list reads back correctly.
+    val expected = if (n == 1) "0" else s"0-${n - 1}"
+    var tries = 0
+    var ok = false
+    while (!ok && tries < 10) {
+      tries += 1
+      try {
+        new ProcessBuilder("taskset", "-a", "-p", mask, pid.toString)
+          .redirectErrorStream(true).start().waitFor()
+      } catch { case _: Exception => return } // no taskset → proceed unpinned
+      ok = allThreadsPinned(pid, expected)
+      if (!ok) Thread.sleep(150)
+    }
+    if (!ok) System.err.println(s"[bench] WARNING: pin to $n cpus unverified after $tries tries")
+  }
+
+  private def allThreadsPinned(pid: Long, expected: String): Boolean = {
+    val taskDir = new java.io.File(s"/proc/$pid/task")
+    val tids = Option(taskDir.listFiles()).getOrElse(Array.empty)
+    tids.forall { t =>
+      try {
+        val status = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(t.getPath, "status"))
+        status.linesIterator.find(_.startsWith("Cpus_allowed_list"))
+          .forall(_.split("\\s+").last == expected)
+      } catch { case _: Exception => true } // thread exited: fine
+    }
   }
 
   /** Machine-wide busy fraction over a short sample of /proc/stat. Between
@@ -202,8 +232,6 @@ object Bench {
     // ~0.9+ at 4->16, engine-independent).
     val lo = sys.env.getOrElse("BENCH_LO_CPUS", "4").toInt
     val hiCrawl = sys.env.getOrElse("BENCH_HI_CPUS", "16").toInt
-    val nQueries = sys.env.getOrElse("BENCH_QUERIES", "6000").toInt
-    val batch = sys.env.get("BENCH_BATCH").map(_.toInt).getOrElse(nQueries)
     val cfg = WebConfig(
       seed = 42,
       nHosts = sys.env.getOrElse("BENCH_HOSTS", "150000").toInt,
@@ -235,12 +263,36 @@ object Bench {
     // JIT/codegen warmup first: the first crawl in a JVM pays ~25-35s of
     // compilation that would otherwise bias whichever parallelism runs first
     crawlBench(hiCrawl, 300, 300, cfg.copy(nHosts = 2000, resultsPerPage = 100))
+
+    // ---- workload calibration ----
+    // This host's effective per-core speed swings 2-3× with neighbor load
+    // and turbo, so a FIXED query count lands anywhere between 45s and 170s
+    // at the lo width. The per-generation fixed costs (~7s commit/driver
+    // latency) that a real cluster amortizes over 10^8-URL generations
+    // would dominate a fast-day 45s run and fake poor scaling — so size the
+    // workload for the machine-speed of the day: target BENCH_LO_TARGET_SEC
+    // at the lo width (workload parameters are recorded in the JSON).
+    val loTargetSec = sys.env.getOrElse("BENCH_LO_TARGET_SEC", "150").toDouble
+    val nQueries = sys.env.get("BENCH_QUERIES").map(_.toInt).getOrElse {
+      val calibQ = 1500
+      // the FIRST run at a new width in a JVM is reproducibly ~2.5× slower
+      // per query (width-specific warmup); burn it, calibrate on the second
+      val burn = crawlBench(lo, calibQ, calibQ, cfg)
+      val calib = crawlBench(lo, calibQ, calibQ, cfg)
+      val q = (loTargetSec / (calib.wallSec / calibQ) / 500.0).round.toInt * 500
+      // lower clamp 6000: when the weather SPEEDS UP after calibration an
+      // undersized workload would land in the fixed-cost-dominated regime
+      val sized = math.max(6000, math.min(20000, q))
+      System.err.println(f"[bench] calibration: lo($lo) $calibQ queries in ${burn.wallSec}%.1fs then ${calib.wallSec}%.1fs -> workload $sized queries")
+      sized
+    }
+    val batch = sys.env.get("BENCH_BATCH").map(_.toInt).getOrElse(nQueries)
     // noise robustness: a single attempt on this shared host is a coin flip
     // (observed identical-workload local[32] walls 24-112s under host
     // noise). Adaptive interleaved best-of-N: calm-gated attempts repeat
     // until best-of efficiency reaches BENCH_TARGET_EFF or the time budget
     // runs out; every attempt's wall+throughput is emitted in the JSON.
-    val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "4").toInt
+    val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "3").toInt
     val targetEff = sys.env.getOrElse("BENCH_TARGET_EFF", "0.84").toDouble
     val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "480").toLong
     val (loRes, hiRes, loAll, hiAll) =

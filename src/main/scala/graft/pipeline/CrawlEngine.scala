@@ -378,14 +378,16 @@ final class CrawlEngine(
         .select($"url".as("href"), $"host", $"score")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val nExpanded = picks.count()
+    val nExpanded = if (expandTopK <= 0) 0L else picks.count()
     lap("picks")
 
     // ---- T4: robots gate + per-host politeness schedule (both phases) ---
     // per-host order: phase 0 (ArrivalKey order) then phase 1 (score order);
-    // robots + min-delay both come from the broadcast host-profile join
+    // robots + min-delay both come from ONE broadcast host-profile join
+    // (the min_delay column rides along instead of a second broadcast join)
     val allowed = htmlLinks
-      .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow")), Seq("host"), "left")
+      .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow", $"min_delay_ms")),
+        Seq("host"), "left")
       .filter(robotsAllowedCol($"href")).drop("robots_disallow")
     // host_state carries (host, next_free_ms, n_scheduled); the politeness
     // join only needs the clock column (n_scheduled feeds hot-host top-k)
@@ -396,17 +398,19 @@ final class CrawlEngine(
     }
     val hostState = hostStateFull.select($"host", $"next_free_ms")
     val phaseA = allowed.select($"href", $"host", lit(0).as("phase"),
-      $"kind", $"query_rank", $"page", $"result_rank", lit(0.0d).as("neg_score"))
-    val phaseB = picks.select($"href", $"host", lit(1).as("phase"),
-      lit(0).as("kind"), lit(0).as("query_rank"), lit(0).as("page"),
-      lit(0).as("result_rank"), (-$"score").as("neg_score"))
+      $"kind", $"query_rank", $"page", $"result_rank", lit(0.0d).as("neg_score"),
+      $"min_delay_ms")
+    val phaseB = picks
+      .join(broadcast(hostProfilesDf.select($"host", $"min_delay_ms")), Seq("host"), "left")
+      .select($"href", $"host", lit(1).as("phase"),
+        lit(0).as("kind"), lit(0).as("query_rank"), lit(0).as("page"),
+        lit(0).as("result_rank"), (-$"score").as("neg_score"), $"min_delay_ms")
     val wHost = Window.partitionBy($"host").orderBy(
       $"phase", $"kind", $"query_rank", $"page", $"result_rank", $"neg_score", $"href")
     val sched = phaseA.unionByName(phaseB)
       .join(broadcast(hostState), Seq("host"), "left")
       .na.fill(0L, Seq("next_free_ms"))
       .withColumn("slot", row_number().over(wHost) - lit(1))
-      .join(broadcast(hostProfilesDf.select($"host", $"min_delay_ms")), Seq("host"), "left")
       .withColumn("scheduled_ms", $"next_free_ms" + $"slot" * $"min_delay_ms")
       .withColumn("salt", pmod(xxhash64($"href"), lit(saltShards)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -446,12 +450,20 @@ final class CrawlEngine(
     }.toDF("partition_id", "docs", "spans", "images")
       .filter($"docs" > 0)
       .withColumn("generation", lit(round))
+      .coalesce(1) // one row per shard: a 1-file write, not shuffle.partitions files
 
-    // materialize the dedup cache EXACTLY ONCE before consumers fan out:
-    // Spark's block cache does not coordinate concurrent first-computation
-    // of the same partition, so racing consumers would redundantly re-run
-    // the dedup window
+    // materialize the shared caches EXACTLY ONCE before the concurrent
+    // commit window: Spark's block cache does not coordinate concurrent
+    // first-computation of the same partition, so racing consumers would
+    // redundantly re-run the dedup window / politeness window / fetch+
+    // extract. (An overlapped variant — docs write materializing fetched
+    // while the other commits run — was tried and reverted: it trims
+    // single-node wall ~15% but removes perfectly-PARALLEL work, leaving
+    // the latency-bound commit chain dominant and collapsing the measured
+    // N→4N scaling; the defensive materialize-then-commit shape is the one
+    // that scales.)
     newLinks.count()
+    fetched.count()
     lap("compute")
 
     // ---- commits (processed_queries LAST — K3 barrier) -----------------
@@ -459,13 +471,6 @@ final class CrawlEngine(
     // dirs, per-table atomic pointer flips; crash recovery handles any
     // committed subset). Per-generation counters come free from the
     // manifests' per-commit row deltas — no standalone count() jobs.
-    //
-    // Two-stage launch: the fetch+extract pass (the expensive one) is
-    // MATERIALIZED BY the documents write itself — no separate
-    // fetched.count() pass — while the futures that only need the dedup
-    // cache (seen/links/pdf/bloom/cuckoo) run concurrently with it; the
-    // consumers of sched/fetched (events/images/partition metrics/host
-    // state) launch after the docs write has warmed those caches.
     val seenDelta = newLinks.select($"href", $"host")
       .unionByName(picks.select($"href", $"host"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -473,6 +478,10 @@ final class CrawlEngine(
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     def timedF[T](name: String)(body: => T): Future[T] = Future {
+      // one scheduler pool per commit: under spark.scheduler.mode=FAIR the
+      // concurrent write jobs share task slots instead of FIFO-queueing
+      // behind whichever job grabbed all slots first (no-op under FIFO)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"commit-$name")
       val t = System.nanoTime()
       val r = body
       if (timing) println(f"[gen $round]   commit:$name%-12s ${(System.nanoTime() - t) / 1e9}%6.2fs")
@@ -481,7 +490,7 @@ final class CrawlEngine(
     val seenF = timedF("seen")(seenT.append(seenDelta, round))
     val linksF = timedF("links")(linksT.append(kept.toDF(), round))
     val pdfF = timedF("pdf")(pdfT.append(
-      pdfLinks.select($"href".as("url"), lit(round).as("generation")), round))
+      pdfLinks.select($"href".as("url"), lit(round).as("generation")).coalesce(4), round))
     // distributed Bloom-tier delta merge rides the same concurrency window:
     // per-bucket delta filters aggregated executor-side, OR-merged into the
     // stored tier by a full-outer join — the driver only flips the pointer
@@ -497,6 +506,7 @@ final class CrawlEngine(
         .select($"bucket", $"bits".as("ob"))
         .join(deltaBloom.select($"bucket", $"bits".as("db")), Seq("bucket"), "full_outer")
         .select($"bucket", expr("bloom_or(ob, db)").as("bits"))
+        .coalesce(4) // bloomBuckets rows total: a few fat files, not 1-row-per-file
       bloomT.replace(merged, round,
         Map("capacity" -> bloomCap, "num_blocks" -> bloomNb.toLong))
     }
@@ -520,22 +530,12 @@ final class CrawlEngine(
       }.toDF("host", "cf", "cf_exact")
       cuckooT.replace(updated, round)
     }
-    // inline (not a future): writing docs computes the politeness schedule +
-    // salted fetch + span extraction INTO the sched/fetched caches
-    val docsMeta = {
-      val t = System.nanoTime()
-      val m = docsT.append(docsDf.toDF(), round)
-      if (timing) println(f"[gen $round]   commit:docs+fetch   ${(System.nanoTime() - t) / 1e9}%6.2fs")
-      m
-    }
     val eventsF = timedF("events")(eventsT.append(
       sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
         $"min_delay_ms", lit(round).as("round"), $"phase"), round))
-    val imagesF = timedF("images")(imagesT.append(imagesDf.toDF(), round))
-    val pmF = timedF("partmetrics")(partitionMetricsT.append(partMetrics, round))
     // host_state: untouched hosts keep state; scheduled hosts advance and
     // accumulate their lifetime fetch count (the hot-host top-k statistic) —
-    // depends only on sched (persisted), so it rides the same window
+    // depends only on sched (cached), so it rides the first wave
     val hostF = timedF("hoststate") {
       val updatedState = sched.groupBy($"host")
         .agg((max($"scheduled_ms") + first($"min_delay_ms")).as("next_free"),
@@ -548,9 +548,13 @@ final class CrawlEngine(
           (coalesce($"old_n", lit(0L)) + coalesce($"n_new", lit(0L))).as("n_scheduled"))
       hostStateT.replace(newState, round)
     }
-    val (seenMeta, linksMeta, eventsMeta, pdfMeta) = (
+    val docsF = timedF("docs")(docsT.append(docsDf.toDF(), round))
+    val imagesF = timedF("images")(imagesT.append(imagesDf.toDF(), round))
+    val pmF = timedF("partmetrics")(partitionMetricsT.append(partMetrics, round))
+    val (seenMeta, linksMeta, eventsMeta, docsMeta, pdfMeta) = (
       Await.result(seenF, Duration.Inf), Await.result(linksF, Duration.Inf),
-      Await.result(eventsF, Duration.Inf), Await.result(pdfF, Duration.Inf))
+      Await.result(eventsF, Duration.Inf), Await.result(docsF, Duration.Inf),
+      Await.result(pdfF, Duration.Inf))
     Await.result(imagesF, Duration.Inf); Await.result(pmF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
     Await.result(bloomF, Duration.Inf); Await.result(cuckooF, Duration.Inf)

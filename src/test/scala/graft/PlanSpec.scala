@@ -57,6 +57,27 @@ class PlanSpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("dedup tier probe runs inside whole-stage codegen, no ScalaUDF in the route") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string").as("href"))
+    val nb = graft.operators.BlockedBloom.blocksFor(1000, 12)
+    val bloomDf = docs.limit(100)
+      .select(pmod(xxhash64(col("href")), lit(8)).cast("int").as("bucket"), col("href"))
+      .groupBy("bucket").agg(expr(s"bloom_agg(href, $nb, 7)").as("bits"))
+    val routed = docs
+      .withColumn("bucket", pmod(xxhash64(col("href")), lit(8)).cast("int"))
+      .join(broadcast(bloomDf), Seq("bucket"), "left")
+      .filter(!expr("bloom_might_contain(bits, href)"))
+    routed.collect()
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"probe fell back to a UDF:\n$plan")
+    val probeLine = plan.linesIterator.find(_.contains("bloom_might_contain")).getOrElse("")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(probeLine).isDefined,
+      s"probe filter not in a codegen stage:\n$plan")
+  }
+
   test("crawl generation plan: dedup anti-join reuses the href hash partitioning") {
     // the first-seen window partitions by href; the following anti-join on
     // href must not introduce a second exchange of the candidate stream
