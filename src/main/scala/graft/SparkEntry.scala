@@ -174,8 +174,8 @@ object SparkEntry {
 
     // ---------------- n-gram Jaccard near-dup (inverted index) ----------------
     "q_dedup_jaccard" -> ((s, dir) => {
-      val toks = TextDedup.shingleTokens(plantedDocs(s, dir), 3)
-      TextDedup.jaccardPairsFromTokens(toks, 0.8)
+      val base = TextDedup.shingleDocBase(plantedDocs(s, dir), 3)
+      TextDedup.jaccardPairsOnBase(base, 0.8)
         .select(col("a"), col("b"), col("shared"), col("na"), col("nb"))
         .orderBy(col("a"), col("b"))
     }),
@@ -204,8 +204,8 @@ object SparkEntry {
     // connected components (alternating large-star/small-star) over exact
     // Jaccard pairs on a fixture with planted size-3 clusters
     "q_dedup_cluster" -> ((s, dir) => {
-      val toks = TextDedup.shingleTokens(clusterDocs(s, dir), 3)
-      val pairs = TextDedup.jaccardPairsFromTokens(toks, 0.8)
+      val base = TextDedup.shingleDocBase(clusterDocs(s, dir), 3)
+      val pairs = TextDedup.jaccardPairsOnBase(base, 0.8)
       TextDedup.connectedComponents(pairs.select(col("a"), col("b")))
         .orderBy(col("doc_id"))
     }),

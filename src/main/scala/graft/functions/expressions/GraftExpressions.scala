@@ -4,8 +4,8 @@ import graft.util.Hashing
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's scalar hot paths — the
@@ -49,6 +49,95 @@ object RollingFingerprintExpr {
   }
 }
 
+/** 64-bit SimHash (Charikar, STOC 2002) as a codegen'd native expression —
+  * the per-document first stage of the simhash near-dup family runs inside
+  * whole-stage codegen instead of crossing a ScalaUDF boundary per row.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64Expr.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SimHash64Expr.simhash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  /** Shared kernel: weighted sign-sum over murmur3-hashed space-split word
+    * tokens (bit i set iff more token hashes carry bit i than not).
+    */
+  def simhash(text: String): Long = {
+    val counts = new Array[Long](64)
+    if (text != null) text.split(" ").iterator.filter(_.nonEmpty).foreach { t =>
+      val h = Hashing.murmur3_64(t, 0x51a4L)
+      var i = 0
+      while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
+    sh
+  }
+}
+
+/** PDF-confirm probe gate (P5/S7) as a native expression: the per-kept-row
+  * content-type check runs codegen'd in the generation DAG (was a ScalaUDF).
+  * Children: (url STRING, seed LONG literal). Kernel = SyntheticWeb's
+  * deterministic content-type oracle — one shared implementation.
+  */
+case class ConfirmsPdfExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"confirms_pdf requires (STRING, BIGINT), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "confirms_pdf"
+
+  override protected def nullSafeEval(url: Any, seed: Any): Any =
+    graft.synth.SyntheticWeb.confirmsPdf(seed.asInstanceOf[Long], url.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, s) =>
+      s"graft.synth.SyntheticWeb.confirmsPdf($s, $u.toString())")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ConfirmsPdfExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Frontier priority score (O5) as a native expression: per-discovery
+  * scoring stays inside whole-stage codegen. Children: (url STRING, seed
+  * LONG literal); kernel = SyntheticWeb.linkScore.
+  */
+case class LinkScoreExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"link_score requires (STRING, BIGINT), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "link_score"
+
+  override protected def nullSafeEval(url: Any, seed: Any): Any =
+    graft.synth.SyntheticWeb.linkScore(seed.asInstanceOf[Long], url.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, s) =>
+      s"graft.synth.SyntheticWeb.linkScore($s, $u.toString())")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LinkScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of graft native functions into a session's function
   * registry — callable from SQL and via expr("..."); usable with
   * SparkSessionExtensions.injectFunction for spark-submit deployments.
@@ -61,6 +150,12 @@ object GraftFunctions {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "confirms_pdf", exprs => ConfirmsPdfExpr(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "link_score", exprs => LinkScoreExpr(exprs(0), exprs(1)), "built-in")
     // URL-seen dedup tier (the analyzer wraps the AggregateFunction)
     r.createOrReplaceTempFunction(
       "bloom_agg", exprs => BloomBuildAgg(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")

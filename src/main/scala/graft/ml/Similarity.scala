@@ -93,8 +93,11 @@ object Similarity {
     require(codebook.nonEmpty, "corpus must be non-empty")
     if (iters <= 0) return codebook
     val sample = corpus
-      .select(col(vecCol).as("vec"), xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(sampleN).select("vec")
+      .select(col(vecCol).as("vec"), xxhash64(col(idCol)).as("h"), col(idCol).as("tie"))
+      // (h, tie) not bare h: equal hashes would otherwise make the selected
+      // sample — and the codebook — partition-order dependent (determinism
+      // rule: ordering comes from data, never task scheduling)
+      .orderBy("h", "tie").limit(sampleN).select("vec")
       .persist()
     sample.count()
     for (_ <- 0 until iters) {

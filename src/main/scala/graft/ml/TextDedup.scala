@@ -33,7 +33,9 @@ object TextDedup {
       .groupBy(xxhash64($"t").as("h"))
       .agg(min($"id").as("keep_id"), count(lit(1)).as("dup_count"),
         countDistinct(md5($"t")).as("n_digests"))
-    val clean = g.filter($"n_digests" === 1).select($"keep_id", $"dup_count")
+    // n_digests <= 1 (not === 1): the all-null-text group has
+    // countDistinct(md5) = 0 and must surface as one clean group, not vanish
+    val clean = g.filter($"n_digests" <= 1).select($"keep_id", $"dup_count")
     // rare 64-bit collisions: re-resolve those groups exactly by text
     val collided = g.filter($"n_digests" > 1).select($"h")
     val resolved = base
@@ -62,7 +64,7 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxDf: Long = 10000L): DataFrame =
+                   maxDf: Long = 1000000L): DataFrame =
     jaccardPairsFromTokens(docTokens(docs, idCol, textCol), threshold, maxDf)
 
   /** Distinct word-k-gram shingles per doc (requires ≥ k words; callers on
@@ -91,6 +93,66 @@ object TextDedup {
     // cleaner when the plan is GC'd.
     toks.select($"id", xxhash64($"tok").as("tok")).localCheckpoint(false)
 
+  /** The SHARED per-doc hashed-shingle base of the whole near-dup family:
+    * one row per doc, `toks` = distinct 64-bit hashes of its word-k-gram
+    * shingles (docs with < k words are dropped, matching [[shingleTokens]]).
+    * Materialized ONCE (lazy localCheckpoint) and consumed by BOTH the
+    * candidate generator (MinHash signatures are arithmetic over these
+    * longs) and the exact-verify stage — the shingle split/slice/hash
+    * pipeline, the expensive narrow work, runs exactly one time per query
+    * instead of once per stage.
+    */
+  def shingleDocBase(docs: DataFrame, shingleSize: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = filter(split(col(textCol), " "), t => t =!= "")
+    docs.where(size(words) >= shingleSize)
+      .select(col(idCol).as("id"),
+        array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
+          i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("toks"))
+      .localCheckpoint(false)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shared base:
+    * fetch both docs' hashed shingle SETS with two joins (the small
+    * candidate side broadcasts), then shared = |array_intersect| and sizes =
+    * size(toks) — all narrow codegen'd array ops, no re-explode, no groupBy.
+    * Shuffle volume is Σ over candidate pairs of (|A|+|B|), the same bytes
+    * the exploded-join verify moved, in 2 joins instead of 2 joins + an agg.
+    */
+  def verifyJaccardOnBase(pairs: DataFrame, base: DataFrame, threshold: Double): DataFrame =
+    pairs.select($"a", $"b")
+      .join(base.select($"id".as("a"), $"toks".as("ta")), Seq("a"))
+      .join(base.select($"id".as("b"), $"toks".as("tb")), Seq("b"))
+      .select($"a", $"b", size(array_intersect($"ta", $"tb")).cast("long").as("shared"),
+        size($"ta").cast("long").as("na"), size($"tb").cast("long").as("nb"))
+      .filter($"shared" / ($"na" + $"nb" - $"shared") >= threshold)
+
+  /** Exhaustive Jaccard ≥ threshold pairs over the shared base: explode the
+    * (already materialized) token arrays, window df-filter + token-key
+    * self-join as in [[jaccardPairsFromTokens]], but pair sizes come narrow
+    * from size(toks) joins against the base instead of a groupBy(id) agg.
+    */
+  def jaccardPairsOnBase(base: DataFrame, threshold: Double,
+                         maxDf: Long = 1000000L, logDrops: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = base.select($"id", explode($"toks").as("tok"))
+    if (logDrops) {
+      val hot = t.groupBy($"tok").agg(count(lit(1)).as("df")).filter($"df" > maxDf).count()
+      logDrop("jaccard", s"tokens with df > $maxDf", hot)
+    }
+    val keep = t.withColumn("df", count(lit(1)).over(Window.partitionBy($"tok")))
+      .filter($"df" <= maxDf).drop("df")
+    val pairs = keep.as("x").join(keep.as("y"),
+      col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(base.select($"id".as("a"), size($"toks").cast("long").as("na")), Seq("a"))
+      .join(base.select($"id".as("b"), size($"toks").cast("long").as("nb")), Seq("b"))
+      .withColumn("jaccard", $"shared" / ($"na" + $"nb" - $"shared"))
+      .filter($"jaccard" >= threshold)
+      .select($"a", $"b", $"shared", $"na", $"nb")
+  }
+
   /** Jaccard ≥ threshold pairs over any (id, tok) token table.
     *
     * Pair generation is a token-key SELF-JOIN (x.tok = y.tok, x.id < y.id):
@@ -105,7 +167,7 @@ object TextDedup {
     * join sides instead of separate agg + semi-join shuffles.
     */
   def jaccardPairsFromTokens(toks: DataFrame, threshold: Double,
-                             maxDf: Long = 10000L, logDrops: Boolean = true): DataFrame = {
+                             maxDf: Long = 1000000L, logDrops: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = hashedToks(toks)
     val sizes = t.groupBy($"id").agg(count(lit(1)).as("n"))
@@ -190,19 +252,27 @@ object TextDedup {
   def minhashLshCandidates(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", shingleSize: Int = 3,
                            numHashes: Int = 32, bands: Int = 16,
-                           maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
+                           maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame =
+    minhashLshCandidatesFromBase(
+      shingleDocBase(docs, shingleSize, idCol, textCol), numHashes, bands, maxBucket, logDrops)
+
+  /** LSH banding over the shared base: signatures are pure long arithmetic
+    * (xxhash64 re-mix + array_min) over the materialized `toks`, so the
+    * candidate stage re-reads 8-byte hashes, never the corpus text. The
+    * per-(band, bsig) occupancy table is eagerly checkpointed: the skew-cap
+    * drop count AND the bucket filter both read it, so drop-logging costs a
+    * count over a small cached table instead of re-running the banding agg.
+    */
+  def minhashLshCandidatesFromBase(base: DataFrame, numHashes: Int = 32, bands: Int = 16,
+                                   maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
     val r = numHashes / bands
-    // two-step projection: base shingle hashes materialize once (CollapseProject
-    // won't inline a multiply-referenced expensive alias), permutations are
-    // cheap long arithmetic over them
-    val sig = docs.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("hs"))
-      .select($"id", minhashFromHashes($"hs", numHashes).as("sig"))
+    val sig = base.select($"id", minhashFromHashes($"toks", numHashes).as("sig"))
     val banded = sig.select($"id", explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice($"sig", b * r + 1, lit(r)).as("bsig")))).as("bk"))
       .select($"id", $"bk.band".as("band"), $"bk.bsig".as("bsig"))
     val counts = banded.groupBy($"band", $"bsig").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // one row per occupied bucket — small
     if (logDrops) {
       val big = counts.filter($"cnt" > maxBucket).count()
       logDrop("minhash-lsh", s"buckets larger than $maxBucket", big)
@@ -220,34 +290,32 @@ object TextDedup {
     * shingle-Jaccard threshold. With the 16×2 banding the candidate recall
     * at j ≥ 0.8 is 1-8·10⁻⁸, so the verified output equals the exhaustive
     * exact-Jaccard pair set (what the DuckDB oracle computes) — the sketch
-    * only prunes the pair space, it never decides membership.
+    * only prunes the pair space, it never decides membership. Candidate
+    * generation and verification share ONE materialized shingle base.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
                       maxBucket: Int = 1000): DataFrame = {
-    val cands = minhashLshCandidates(docs, idCol, textCol, shingleSize, numHashes, bands, maxBucket)
-    verifyJaccard(cands, shingleTokens(docs, shingleSize, idCol, textCol), threshold)
+    val base = shingleDocBase(docs, shingleSize, idCol, textCol)
+    val cands = minhashLshCandidatesFromBase(base, numHashes, bands, maxBucket)
+    verifyJaccardOnBase(cands, base, threshold)
   }
 
   /** 64-bit SimHash kernel: weighted sign-sum of token hashes (Charikar,
-    * STOC 2002). Near-dups have small Hamming distance.
+    * STOC 2002). Near-dups have small Hamming distance. One shared
+    * implementation — the codegen'd expression's static kernel.
     */
-  def simhash64Kernel(text: String): Long = {
-    val counts = new Array[Long](64)
-    if (text != null) text.split(" ").iterator.filter(_.nonEmpty).foreach { t =>
-      val h = Hashing.murmur3_64(t, 0x51a4L)
-      var i = 0
-      while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-    }
-    var sh = 0L
-    var i = 0
-    while (i < 64) { if (counts(i) > 0) sh |= (1L << i); i += 1 }
-    sh
-  }
+  def simhash64Kernel(text: String): Long =
+    graft.functions.expressions.SimHash64Expr.simhash(text)
 
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf(simhash64Kernel _)
+  /** simhash64 as a Column: the codegen'd native expression (registered per
+    * session — createOrReplaceTempFunction is idempotent), never a ScalaUDF.
+    */
+  private def simhash64Col(df: DataFrame, textCol: String): Column = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    expr(s"simhash64(`$textCol`)")
+  }
 
   /** SimHash candidate pairs with GUARANTEED recall at `maxHamming`: the 64
     * bits band into maxHamming+1 chunks, so any pair within maxHamming bits
@@ -261,7 +329,8 @@ object TextDedup {
                         maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)
-    val withSh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    // codegen'd native simhash64 expression — one corpus scan, no ScalaUDF
+    val withSh = docs.select(col(idCol).as("id"), simhash64Col(docs, textCol).as("sh"))
     val bandCols = (0 until chunks).map { c =>
       val lo = bounds(c)
       val width = bounds(c + 1) - lo
@@ -271,7 +340,11 @@ object TextDedup {
     }
     val banded = withSh.select($"id", $"sh", explode(array(bandCols: _*)).as("bk"))
       .select($"id", $"sh", $"bk.chunk".as("chunk"), $"bk.bits".as("bits"))
+      // (id, sh, chunk, bits) is chunks×nDocs 32-byte rows; materialize once —
+      // the occupancy agg, the bucket semi-join and BOTH self-join sides read it
+      .localCheckpoint(false)
     val counts = banded.groupBy($"chunk", $"bits").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // one row per occupied bucket — small
     if (logDrops) {
       val big = counts.filter($"cnt" > maxBucket).count()
       logDrop("simhash", s"buckets larger than $maxBucket", big)
@@ -292,14 +365,15 @@ object TextDedup {
     * output hash-independent and oracle-checkable: docs at Jaccard ≥ 0.9
     * differ in a handful of tokens, each flipping E[·]≈3.6 of 64 SimHash
     * bits, so radius-`maxHamming` candidates cover them and the verified
-    * output equals the exhaustive exact-Jaccard pair set.
+    * output equals the exhaustive exact-Jaccard pair set. The verify stage
+    * reads the shared materialized shingle base (no token re-explode).
     */
   def simhashNearDups(docs: DataFrame, jaccardThreshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxHamming: Int = 6, shingleSize: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
     val cands = simhashCandidates(docs, idCol, textCol, maxHamming, maxBucket)
-    verifyJaccard(cands, shingleTokens(docs, shingleSize, idCol, textCol), jaccardThreshold)
+    verifyJaccardOnBase(cands, shingleDocBase(docs, shingleSize, idCol, textCol), jaccardThreshold)
   }
 
   /** Connected components over near-dup candidate pairs → (doc_id, keep_id):

@@ -172,4 +172,15 @@ object CuckooFilter {
     while (p < buckets && p < (1 << 29)) p <<= 1
     new CuckooFilter(p)
   }
+
+  /** Serialized byte size of a filter [[sized]] for `expectedKeys` — used to
+    * plan the tier's byte budget BEFORE building (a 10⁸-URL host would be an
+    * ~800 MB blob; the planner must know that without streaming the host).
+    */
+  def bytesFor(expectedKeys: Long, loadFactor: Double = 0.84): Long = {
+    val buckets = math.max(8L, (expectedKeys / (SlotsPerBucket * loadFactor)).toLong + 1)
+    var p = 8L
+    while (p < buckets && p < (1L << 29)) p <<= 1
+    HeaderBytes + p * SlotsPerBucket * 2
+  }
 }

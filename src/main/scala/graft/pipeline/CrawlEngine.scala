@@ -286,22 +286,44 @@ final class CrawlEngine(
     // seen" goes through the exact anti-join, so FPs cost a shuffled row,
     // never a dropped URL.
     val storedCuckoo = cuckooT.read(spark).getOrElse(emptyCuckooDf)
-    val tracked: Set[String] =
+    val storedHosts: Set[String] =
       if (cuckooT.currentSnapshot.exists(_.rowCount > 0))
         storedCuckoo.select($"host").as[String].collect().toSet // ≤ hotHostCount rows
       else Set.empty
+    // prune to hosts hot NOW: without this the maintained set accumulates
+    // every ever-hot host, and the broadcast + per-generation cogroup scale
+    // with history instead of hotHostCount (a pruned host that re-heats is
+    // simply rebuilt)
+    val tracked = storedHosts.intersect(hotNow)
+    val liveCuckoo =
+      if (tracked.size == storedHosts.size) storedCuckoo
+      else storedCuckoo.filter($"host".isin(tracked.toSeq: _*))
     val missing = (hotNow -- tracked).toSeq.sorted
+    // byte budget (same discipline as the Bloom tier's tierBroadcastBytes
+    // gate): a hot host whose filter would blow the per-host share is NOT
+    // built — routing is an accelerator, the exact anti-join stays the
+    // authority, so skipping is always correct
+    val perHostBudget = tierBroadcastBytes / math.max(1L, 2L * hotHostCount)
     // the tier is live once any host has a filter or can get one built;
     // when dormant (e.g. generation 1: nothing seen yet) every tier job —
     // seed build, probe join, cogroup maintenance, table commit — is skipped
     val cuckooActive = tracked.nonEmpty ||
       (missing.nonEmpty && seenT.currentSnapshot.exists(_.rowCount > 0))
-    val cuckooDf = (if (missing.isEmpty || seenT.read(spark).isEmpty) storedCuckoo
+    var builtEstBytes = 0L
+    val cuckooDf = (if (missing.isEmpty || seenT.read(spark).isEmpty) liveCuckoo
     else {
       val seenDf = seenT.read(spark).get
       val sizes: Map[String, Long] = seenDf.filter($"host".isin(missing: _*))
         .groupBy($"host").count().as[(String, Long)].collect().toMap
-      val built = seenDf.filter($"host".isin(missing: _*))
+      def capacityOf(h: String): Long = math.max(1024L, sizes.getOrElse(h, 0L) * 4)
+      val buildable = missing.filter(h =>
+        graft.operators.CuckooFilter.bytesFor(capacityOf(h)) <= perHostBudget)
+      if (buildable.size < missing.size)
+        println(s"[graft.cuckoo] skipped ${missing.size - buildable.size} hot hosts over " +
+          s"the per-host byte budget ($perHostBudget B) — exact anti-join remains authority")
+      builtEstBytes = buildable.map(h =>
+        graft.operators.CuckooFilter.bytesFor(capacityOf(h))).sum
+      val built = seenDf.filter($"host".isin(buildable: _*))
         .select($"host", $"href").as[(String, String)]
         .groupByKey(_._1)
         .mapGroups { (h, it) =>
@@ -310,8 +332,13 @@ final class CrawlEngine(
           it.foreach(t => cf.insert(t._2))
           (h, cf.toBytes, cf.negativesAreExact)
         }.toDF("host", "cf", "cf_exact")
-      storedCuckoo.unionByName(built)
+      liveCuckoo.unionByName(built)
     }).persist(StorageLevel.MEMORY_AND_DISK)
+    // broadcast gate: stored tier bytes come free from the snapshot counter
+    // (written at each maintenance commit); over budget → the probe join
+    // co-partitions on host instead of broadcasting
+    val cuckooTierBytes = builtEstBytes +
+      cuckooT.currentSnapshot.flatMap(_.counters.get("bytes")).getOrElse(0L)
     lap("cuckoo-seed")
 
     // Probe = joins to the tier tables + codegen'd native expressions (no
@@ -328,8 +355,10 @@ final class CrawlEngine(
         val bloomProbed = firstSeen
           .withColumn("bucket", bucketCol($"href"))
           .join(bloomDf, Seq("bucket"), "left")
+        val cuckooJoinDf =
+          if (cuckooTierBytes <= tierBroadcastBytes) broadcast(cuckooDf) else cuckooDf
         val probed = (if (cuckooActive) {
-          bloomProbed.join(broadcast(cuckooDf), Seq("host"), "left")
+          bloomProbed.join(cuckooJoinDf, Seq("host"), "left")
             .withColumn("maybe_seen",
               when($"cf_exact" === true, expr("cuckoo_contains(cf, href)"))
                 .otherwise(expr("bloom_might_contain(bits, href)")))
@@ -348,9 +377,9 @@ final class CrawlEngine(
       .filter(Predicates.isRelevantCol($"title", $"href", $"content"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- P5/S7/D3: PDF split -------------------------------------------
-    val confirmsPdf = udf((u: String) => SyntheticWeb.confirmsPdf(webCfg, u))
-    val isPdf = Predicates.isLikelyPdfUrlCol($"href") && confirmsPdf($"href")
+    // ---- P5/S7/D3: PDF split (codegen'd confirm probe — no ScalaUDF) ----
+    val isPdf = Predicates.isLikelyPdfUrlCol($"href") &&
+      expr(s"confirms_pdf(href, ${webCfg.seed}L)")
     val pdfLinks = kept.filter(isPdf)
     val htmlLinks = kept.filter(!isPdf)
 
@@ -416,7 +445,14 @@ final class CrawlEngine(
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- S6/G1/G2/G5: salted fetch + span extraction + link discovery ---
-    val fetched: Dataset[(PageDoc, Seq[SequentialOracle.OracleImage], Seq[String])] = sched
+    // The extraction output is cached as a DATAFRAME of struct columns, not
+    // a Dataset of Scala tuples: its three commit-window consumers (docs,
+    // images, partition_metrics) then read it with pure columnar
+    // projections inside whole-stage codegen. The tuple form made each
+    // consumer re-deserialize every PageDoc/span/image OBJECT through the
+    // encoder — 3 full object decodes of the largest dataset per
+    // generation, a fixed CPU tax that dominated the commit window.
+    val fetched: DataFrame = sched
       .select($"href", $"host", $"salt", $"scheduled_ms")
       .repartition(nPart, $"host", $"salt")
       .sortWithinPartitions($"scheduled_ms") // politeness order within shard
@@ -436,21 +472,28 @@ final class CrawlEngine(
             (doc, imgs, outLinks)
           }
         }
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    val docsDf = fetched.map(_._1)
-    val imagesDf = fetched.flatMap(_._2)
+      }.toDF("doc", "imgs", "out_links")
+      // the shard id is captured BEFORE the cache (narrow projection in the
+      // fetch tasks themselves) so partition_metrics records the real
+      // (host,salt) shard lineage
+      .withColumn("partition_id", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docsDf = fetched.select($"doc.*")
+    val imagesDf = fetched.select(explode($"imgs").as("img")).select($"img.*")
 
     // per-partition lineage counters from the fetch stage (north rule):
-    // one row per (host,salt) shard — docs, spans, images produced there
-    val partMetrics = fetched.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var docs = 0L; var spans = 0L; var imgs = 0L
-      it.foreach { case (d, im, _) => docs += 1; spans += d.spans.size; imgs += im.size }
-      Iterator((pid, docs, spans, imgs))
-    }.toDF("partition_id", "docs", "spans", "images")
+    // one row per (host,salt) shard — docs, spans, images produced there.
+    // A groupBy over the captured shard id (tiny shuffle, nPart rows in)
+    // replaces the old mapPartitions/TaskContext form — columnar, and
+    // immune to the coalesce(1)-collapses-the-task-id hazard.
+    val partMetrics = fetched
+      .groupBy($"partition_id")
+      .agg(count(lit(1)).as("docs"),
+        sum(size($"doc.spans")).as("spans"),
+        sum(size($"imgs")).as("images"))
       .filter($"docs" > 0)
       .withColumn("generation", lit(round))
-      .coalesce(1) // one row per shard: a 1-file write, not shuffle.partitions files
+      .repartition(1) // one row per shard: a 1-file write
 
     // materialize the shared caches EXACTLY ONCE before the concurrent
     // commit window: Spark's block cache does not coordinate concurrent
@@ -527,8 +570,12 @@ final class CrawlEngine(
               else Iterator.empty
             case _ => Iterator.empty // absent or saturated
           }
-      }.toDF("host", "cf", "cf_exact")
-      cuckooT.replace(updated, round)
+      }.toDF("host", "cf", "cf_exact").persist(StorageLevel.MEMORY_AND_DISK)
+      // record the tier's serialized bytes so the next generation's
+      // broadcast-vs-copartition decision is a counter read, not a scan
+      val tierBytes = updated.select(coalesce(sum(length($"cf")), lit(0L))).as[Long].head()
+      cuckooT.replace(updated, round, Map("bytes" -> tierBytes))
+      updated.unpersist()
     }
     val eventsF = timedF("events")(eventsT.append(
       sched.select($"href".as("url"), $"host", $"salt", $"scheduled_ms",
@@ -576,13 +623,12 @@ final class CrawlEngine(
 
     // ---- frontier maintenance: (old - picked) + new discoveries ---------
     if (expandTopK > 0) {
-      val scoreOf = udf((u: String) => SyntheticWeb.linkScore(webCfg, u))
       val seenNow = seenT.read(spark).get.select($"href".as("url"))
-      val discoveries = fetched.flatMap(_._3).toDF("url").distinct()
+      val discoveries = fetched.select(explode($"out_links").as("url")).distinct()
         .join(seenNow, Seq("url"), "left_anti")
         .join(oldFrontier.select($"url"), Seq("url"), "left_anti")
         .withColumn("host", regexp_extract(lower($"url"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
-        .withColumn("score", scoreOf($"url"))
+        .withColumn("score", expr(s"link_score(url, ${webCfg.seed}L)")) // codegen'd, no ScalaUDF
         .withColumn("discovered_gen", lit(round))
         .select($"url", $"host", $"score", $"discovered_gen")
       val newFrontier = oldFrontier

@@ -96,8 +96,11 @@ object SyntheticWeb {
   /** Content-type oracle for the PDF confirm probe (scraper.py:100-124):
     * real .pdf paths confirm ~90% of the time, trap paths ~10%.
     */
-  def confirmsPdf(cfg: WebConfig, url: String): Boolean = {
-    val h = det(cfg.seed, "ctype", url)
+  def confirmsPdf(cfg: WebConfig, url: String): Boolean = confirmsPdf(cfg.seed, url)
+
+  /** Seed-only kernel shared with the codegen'd `confirms_pdf` expression. */
+  def confirmsPdf(seed: Long, url: String): Boolean = {
+    val h = det(seed, "ctype", url)
     if (url.endsWith(".pdf")) bounded(h, 100) < 90
     else bounded(h, 100) < 10
   }
@@ -221,5 +224,8 @@ object SyntheticWeb {
     * the stand-in for PageRank-ish signals; pure function of the URL so the
     * oracle and the engine agree without coordination.
     */
-  def linkScore(cfg: WebConfig, url: String): Double = toUnit(det(cfg.seed, "score", url))
+  def linkScore(cfg: WebConfig, url: String): Double = linkScore(cfg.seed, url)
+
+  /** Seed-only kernel shared with the codegen'd `link_score` expression. */
+  def linkScore(seed: Long, url: String): Double = toUnit(det(seed, "score", url))
 }
