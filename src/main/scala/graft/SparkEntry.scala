@@ -228,18 +228,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---------------- similarity search: LSH-bucketed ANN (rows-only) ----------------
+    // ---------------- similarity search: LSH-bucketed ANN ----------------
+    // exact-equivalence configuration (probeAll): every bucket is probed, so
+    // the output equals brute force and the brute-force SQL is a true oracle
+    // while the PLAN stays the bucket-key join that scales (no |Q|x|N|
+    // term); approximate-probe recall is pinned by MlSpec instead
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, probeAll = true)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---------------- similarity search: IVF-cell ANN (rows-only) ----------------
+    // ---------------- similarity search: IVF-cell ANN ----------------
+    // exact-equivalence configuration (nprobe = nlist): all cells probed —
+    // output equals brute force, k-means cell-join plan unchanged;
+    // nprobe<nlist recall is pinned by MlSpec
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -278,13 +285,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---------------- multimodal plumbing (rows-only; decode is stubbed) ----------------
+    // ---------------- multimodal decode (REAL BMP/WAV/GRFV codecs) ----------------
+    // payloads are actual encoded bytes; every aggregate below comes from
+    // PARSING them (headers + pixel/sample data), and the DuckDB oracle
+    // recomputes the same values from the doc_id arithmetic that
+    // parameterized the encoders
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
       Multimodal.decodeFeatures(media).toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
-          sum(col("frames_sampled")).as("total_frames"))
+          sum(col("frames_sampled")).as("total_frames"),
+          sum(col("content_sum")).as("checksum"),
+          sum(col("width")).as("total_width"),
+          sum(col("duration_ms")).as("total_duration_ms"))
         .orderBy(col("kind"))
     }),
 
@@ -518,6 +532,26 @@ object SparkEntry {
         |  WHERE q.vec_id < 10) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // exact-equivalence ANN configs (probeAll LSH / nprobe=nlist IVF): both
+    // provably return the brute-force ranking, so they share its oracle
+    "q_ann_lsh" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
@@ -609,6 +643,43 @@ object SparkEntry {
          |SELECT doc_id, fingerprint, len(list_distinct(wins)) AS n_winnow
          |FROM w ORDER BY doc_id""".stripMargin
     },
+
+    // multimodal: replay the encoder parameterization (plain doc_id
+    // arithmetic) — n_bytes from the BMP/WAV/GRFV layout formulas, content
+    // checksums as list-comprehension sums; everything the Spark side
+    // DECODED from payload bytes is recomputed here from first principles
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h,
+        |    16 + doc_id % 50 AS ns, 1 + doc_id % 5 AS fr
+        |  FROM documents),
+        |d AS (
+        |  SELECT kind,
+        |    CASE kind
+        |      WHEN 'image' THEN 54 + h * (((w*3 + 3) // 4) * 4)
+        |      WHEN 'audio' THEN 44 + 2 * ns
+        |      ELSE 8 + fr * (54 + h * (((w*3 + 3) // 4) * 4)) END AS n_bytes,
+        |    CASE kind WHEN 'video' THEN fr ELSE 1 END AS frames,
+        |    CASE kind
+        |      WHEN 'image' THEN list_sum([ (doc_id*31 + i) % 256 FOR i IN range(w*h*3) ])
+        |      WHEN 'audio' THEN list_sum([ (doc_id*131 + i*17) % 65536 - 32768 FOR i IN range(ns) ])
+        |      ELSE list_sum([ (doc_id*31 + (j // (w*h*3))*7 + (j % (w*h*3))) % 256
+        |                      FOR j IN range(fr*w*h*3) ])
+        |    END AS content_sum,
+        |    CASE kind WHEN 'audio' THEN 0 ELSE w END AS width,
+        |    CASE kind WHEN 'image' THEN 0
+        |              WHEN 'audio' THEN ns * 1000 // 8000
+        |              ELSE fr * 1000 END AS dur
+        |  FROM m)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(content_sum) AS BIGINT) AS checksum,
+        |  CAST(sum(width) AS BIGINT) AS total_width,
+        |  CAST(sum(dur) AS BIGINT) AS total_duration_ms
+        |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_export_records" ->
       """SELECT doc_id,

@@ -1,20 +1,21 @@
 package graft.ml
 
-import graft.util.Hashing
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads are opaque
+/** Multimodal-column pipeline: image/audio/video payloads are opaque
   * `binary` columns with typed metadata, processed in batched
   * `mapPartitions` passes (the Scala analogue of `mapInPandas` batch UDFs —
   * one vectorizable batch loop per partition, heavyweight decoder state
   * initialized once per partition, not per row).
   *
-  * The actual codec work is STUBBED — no image/audio libraries exist in
-  * this container — behind [[StubCodec]], a deterministic fake that derives
-  * "decoded" features from the payload bytes. The Spark-side contract
-  * (schema, batching, partitioning, per-partition init) is real and tested;
-  * swapping StubCodec for a JNI/FFM decoder changes no plumbing.
+  * The decode path is REAL: payloads are actual BMP (image), PCM16 WAV
+  * (audio) and GRFV frame-container (video) bytes, and [[decodeFeatures]]
+  * parses headers + pixel/sample data via [[MediaCodec]] — dimensions,
+  * durations and content digests come from the BYTES, never from row
+  * metadata. No image/audio libraries exist in this offline container, so
+  * the formats are the header-simple classics; a JPEG/MP4 codec slots into
+  * the same decodeBatch signature without touching the Spark plumbing.
   */
 object Multimodal {
 
@@ -35,59 +36,77 @@ object Multimodal {
       doc_id: Long,
       kind: String,
       n_bytes: Int,
-      feature: Seq[Float], // STUB: deterministic fake embedding
+      width: Int, // decoded from payload header
+      height: Int,
+      duration_ms: Long, // decoded: samples/rate (audio), 1 fps × frames (video)
+      content_sum: Long, // decoded pixel/sample digest
       frames_sampled: Int)
 
-  /** STUB decoder: deterministic fake features from payload bytes. A real
-    * deployment replaces `decodeBatch` with the codec call; signature and
-    * batch shape stay identical.
-    */
-  object StubCodec {
-    val FeatureDim = 8
+  val AudioSampleRate = 8000
 
-    /** Batched decode — one call per batch of rows, mirroring a vectorized
-      * (Arrow-batch) UDF's shape.
-      */
-    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
-      val h0 = Hashing.murmur3_64(r.bytes, 0xfeedL)
-      val feature = (0 until FeatureDim).map(i => (Hashing.fmix64(h0 + i) % 1000L) / 1000.0f)
-      val frames = r.kind match {
-        case "video" => math.max(1, (r.duration_ms / 1000L).toInt) // 1 fps sample
-        case _ => 1
-      }
-      MediaFeatures(r.media_id, r.doc_id, r.kind, r.bytes.length, feature, frames)
-    }
-  }
-
-  /** Deterministic synthetic media table derived from a documents table
-    * (payload bytes = hash-expanded from the doc text): lets the plumbing
-    * run against driver testdata without external files.
+  /** Deterministic synthetic media table derived from a documents table —
+    * REAL payload bytes (BMP/WAV/GRFV), parameterized by plain doc_id
+    * arithmetic so a SQL oracle can recompute every decoded value:
+    *   kind       = doc_id % 3 → image | audio | video
+    *   image      : w = 2 + doc_id%7, h = 2 + doc_id%5,
+    *                pixel byte i = (doc_id*31 + i) % 256
+    *   audio      : n = 16 + doc_id%50 samples,
+    *                sample i = (doc_id*131 + i*17) % 65536 − 32768
+    *   video      : frames = 1 + doc_id%5 of the image BMP with per-frame
+    *                pixel byte i = (doc_id*31 + f*7 + i) % 256
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val h = Hashing.murmur3_64(text, 0x3edL)
-      val kind = Seq("image", "audio", "video")(Hashing.bounded(h, 3))
-      val n = 64 + Hashing.bounded(Hashing.fmix64(h), 192)
-      val bytes = Array.tabulate[Byte](n)(i => (Hashing.fmix64(h + i) & 0xff).toByte)
-      MediaRow(id, id, kind, bytes,
-        640 + Hashing.bounded(h >> 7, 1280), 400 + Hashing.bounded(h >> 11, 800),
-        1000L * (1 + Hashing.bounded(h >> 13, 30)))
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (2 + id % 7).toInt
+      val h = (2 + id % 5).toInt
+      (id % 3) match {
+        case 0 =>
+          val bytes = MediaCodec.encodeBmp(w, h, i => ((id * 31 + i) % 256).toInt)
+          MediaRow(id, id, "image", bytes, w, h, 0L)
+        case 1 =>
+          val n = (16 + id % 50).toInt
+          val bytes = MediaCodec.encodeWav(AudioSampleRate, n,
+            i => (((id * 131 + i.toLong * 17) % 65536) - 32768).toInt)
+          MediaRow(id, id, "audio", bytes, 0, 0, n.toLong * 1000 / AudioSampleRate)
+        case _ =>
+          val frames = (1 + id % 5).toInt
+          val payload = MediaCodec.encodeVideo((0 until frames).map(f =>
+            MediaCodec.encodeBmp(w, h, i => ((id * 31 + f * 7 + i) % 256).toInt)))
+          MediaRow(id, id, "video", payload, w, h, frames * 1000L)
+      }
     }
   }
 
   /** The batched decode pass: partition-local batches of `batchSize`,
-    * decoder "initialized" once per partition. This is the shape that keeps
-    * GPU/native decoders fed at scale.
+    * decoder state initialized once per partition. This is the shape that
+    * keeps GPU/native decoders fed at scale. `frameStep` samples every
+    * k-th video frame (skipped frames are seeked over, not decoded).
     */
-  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64,
+                     frameStep: Int = 1): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here (once, not per row)
-      it.grouped(batchSize).flatMap(batch => StubCodec.decodeBatch(batch))
+      it.grouped(batchSize).flatMap(_.map(r => decodeOne(r, frameStep)))
     }
+  }
+
+  private def decodeOne(r: MediaRow, frameStep: Int): MediaFeatures = r.kind match {
+    case "image" =>
+      val d = MediaCodec.decodeBmp(r.bytes)
+      MediaFeatures(r.media_id, r.doc_id, r.kind, r.bytes.length,
+        d.width, d.height, 0L, d.pixelSum, 1)
+    case "audio" =>
+      val d = MediaCodec.decodeWav(r.bytes)
+      MediaFeatures(r.media_id, r.doc_id, r.kind, r.bytes.length,
+        0, 0, d.nSamples.toLong * 1000 / d.sampleRate, d.sampleSum, 1)
+    case _ =>
+      val d = MediaCodec.decodeVideo(r.bytes, frameStep)
+      MediaFeatures(r.media_id, r.doc_id, r.kind, r.bytes.length,
+        d.width, d.height, d.frames * 1000L, d.pixelSum, d.frames)
   }
 
   /** Video frame sampling: one row per sampled frame index — an explode on

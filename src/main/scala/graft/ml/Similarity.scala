@@ -157,13 +157,19 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
               planes: Int = 8, probes: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              probeAll: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       hyperplaneBucket(col(vecCol), dim, planes).as("b0"))
-    // multi-probe: original bucket + one-bit flips
-    val probeBuckets = array((lit(0) +: (0 until math.min(probes, planes)).map(p => lit(1 << p))): _*)
+    // multi-probe: original bucket + one-bit flips. probeAll probes every
+    // bucket — the exact-equivalence configuration (output == brute force,
+    // same bucket-join plan shape), which is what the DuckDB oracle checks;
+    // recall of the approximate configs is covered by MlSpec.
+    val probeBuckets =
+      if (probeAll) sequence(lit(0), lit((1 << planes) - 1))
+      else array((lit(0) +: (0 until math.min(probes, planes)).map(p => lit(1 << p))): _*)
     val q = qSig.select(col("query_id"), col("qvec"),
       explode(transform(probeBuckets, m => col("b0").bitwiseXOR(m))).as("bucket"))
     val scored = q.join(c, Seq("bucket"))

@@ -171,15 +171,33 @@ class MlSpec extends AnyFunSuite {
     assert(fp2 == got(1L)._5)
   }
 
-  test("multimodal: batched stub decode is deterministic; video frames explode") {
-    val docs = Seq((1L, "video doc text here"), (2L, "another payload")).toDF("doc_id", "text")
+  test("multimodal: real BMP/WAV/GRFV decode matches closed-form; frames explode") {
+    val docs = Seq((0L, "an image doc"), (1L, "an audio doc"), (2L, "a video doc"))
+      .toDF("doc_id", "text")
       .withColumn("n_chars", length($"text")).withColumn("lang", lit("en"))
       .withColumn("source", lit("s"))
     val media = Multimodal.syntheticMedia(docs)
     val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.decodeFeatures(media, batchSize = 1).collect().sortBy(_.media_id)
     assert(f1.toSeq == f2.toSeq, "batch size must not change decode output")
-    assert(f1.forall(_.feature.size == Multimodal.StubCodec.FeatureDim))
+    // doc 0 = image: w=2, h=2, pixel byte i = i % 256
+    val img = f1.find(_.kind == "image").get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.content_sum == (0 until 2 * 2 * 3).sum)
+    assert(img.n_bytes == graft.ml.MediaCodec.bmpBytes(2, 2))
+    // doc 1 = audio: 17 samples of (131 + 17i) % 65536 - 32768
+    val aud = f1.find(_.kind == "audio").get
+    assert(aud.content_sum == (0 until 17).map(i => (131L + 17L * i) % 65536 - 32768).sum)
+    assert(aud.duration_ms == 17L * 1000 / Multimodal.AudioSampleRate)
+    // doc 2 = video: 3 frames of 4x4, pixel byte i of frame f = (62 + 7f + i) % 256
+    val vid = f1.find(_.kind == "video").get
+    assert(vid.frames_sampled == 3 && vid.width == 4 && vid.height == 4)
+    assert(vid.content_sum == (for (f <- 0 until 3; i <- 0 until 4 * 4 * 3)
+      yield (2L * 31 + 7L * f + i) % 256).sum)
+    // frame-step sampling decodes frames 0 and 2 only
+    val stepped = Multimodal.decodeFeatures(media, frameStep = 2)
+      .collect().find(_.kind == "video").get
+    assert(stepped.frames_sampled == 2)
     val frames = Multimodal.sampleFrames(Multimodal.decodeFeatures(media))
     frames.collect().toSeq.groupBy(r => r.getLong(0)).foreach { case (_, rows) =>
       assert(rows.map(_.getInt(2)).sorted == rows.indices.toList)
