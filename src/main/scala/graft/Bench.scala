@@ -151,14 +151,26 @@ object Bench {
     * best hi, all lo attempts, all hi attempts) so the recorded artifact
     * carries the variance, not just the headline.
     */
-  private def crawlBenchInterleaved(lo: Int, hi: Int, nQueries: Int, batch: Int,
-                                    cfg: WebConfig, maxAttempts: Int,
-                                    targetEff: Double, budgetSec: Long)
-  : (CrawlResult, CrawlResult, Seq[CrawlResult], Seq[CrawlResult]) = {
+  /** Returns (best lo, best hi, lo attempts, hi attempts, final workload).
+    * `loTargetSec > 0` arms the undershoot guard: if the FIRST measured lo
+    * wall lands under 0.7× target (calibration ran in a slow window, then
+    * the machine sped up), the workload is re-sized from that measured wall
+    * and the measurement restarts — an undersized run is fixed-cost-
+    * dominated and fakes poor scaling. `cfgOf`/`batchOf` derive workload
+    * parameters from a query count so the resize keeps the saturation
+    * regime constant.
+    */
+  private def crawlBenchInterleaved(lo: Int, hi: Int, nQueries: Int,
+                                    batchOf: Int => Int, cfgOf: Int => WebConfig,
+                                    maxAttempts: Int, targetEff: Double,
+                                    budgetSec: Long, loTargetSec: Double)
+  : (CrawlResult, CrawlResult, Seq[CrawlResult], Seq[CrawlResult], Int) = {
     val t0 = System.nanoTime()
     def elapsedSec = (System.nanoTime() - t0) / 1e9
-    val los = Seq.newBuilder[CrawlResult]
-    val his = Seq.newBuilder[CrawlResult]
+    val los = scala.collection.mutable.ArrayBuffer.empty[CrawlResult]
+    val his = scala.collection.mutable.ArrayBuffer.empty[CrawlResult]
+    var q = nQueries
+    var resized = false
     var bestLo: CrawlResult = null
     var bestHi: CrawlResult = null
     var attempt = 0
@@ -167,24 +179,39 @@ object Bench {
       attempt += 1
       waitForCalm(30000)
       System.gc() // drop the previous phase's heap debt before timing
-      val l = crawlBench(lo, nQueries, batch, cfg)
-      los += l
-      if (bestLo == null || l.urlsPerSec > bestLo.urlsPerSec) bestLo = l
-      waitForCalm(15000)
-      System.gc()
-      val h = crawlBench(hi, nQueries, batch, cfg)
-      his += h
-      if (bestHi == null || h.urlsPerSec > bestHi.urlsPerSec) bestHi = h
-      val eff = (bestHi.urlsPerSec / bestLo.urlsPerSec) / (hi.toDouble / lo)
-      System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs best-eff=$eff%.3f elapsed=${elapsedSec}%.0fs")
-      // stop early once the efficiency criterion is comfortably met — but
-      // only after ≥2 attempts, so a single noise-slowed lo run can't
-      // flatter the recorded ratio by itself — or when another attempt
-      // would blow the round budget
-      done = (attempt >= 2 && eff >= targetEff) ||
-        elapsedSec + (bestLo.wallSec + bestHi.wallSec) * 1.2 > budgetSec
+      val l = crawlBench(lo, q, batchOf(q), cfgOf(q))
+      if (!resized && loTargetSec > 0 && l.wallSec < 0.7 * loTargetSec) {
+        // grow only (a slow-window run is ordinary noise, handled by best-of)
+        val nq = math.max(6000, math.min(20000,
+          ((loTargetSec / (l.wallSec / q)) / 500.0).round.toInt * 500))
+        resized = true
+        if (nq > q) {
+          System.err.println(f"[bench] recalibrate: lo wall ${l.wallSec}%.1fs < 0.7x " +
+            f"target $loTargetSec%.0fs -> workload $nq queries (was $q); restarting attempts")
+          q = nq
+          attempt = 0
+          los.clear(); his.clear(); bestLo = null; bestHi = null
+        }
+      }
+      if (attempt > 0) { // not reset by a resize
+        los += l
+        if (bestLo == null || l.urlsPerSec > bestLo.urlsPerSec) bestLo = l
+        waitForCalm(15000)
+        System.gc()
+        val h = crawlBench(hi, q, batchOf(q), cfgOf(q))
+        his += h
+        if (bestHi == null || h.urlsPerSec > bestHi.urlsPerSec) bestHi = h
+        val eff = (bestHi.urlsPerSec / bestLo.urlsPerSec) / (hi.toDouble / lo)
+        System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs best-eff=$eff%.3f elapsed=${elapsedSec}%.0fs")
+        // stop early once the efficiency criterion is comfortably met — but
+        // only after ≥2 attempts, so a single noise-slowed lo run can't
+        // flatter the recorded ratio by itself — or when another attempt
+        // would blow the round budget
+        done = (attempt >= 2 && eff >= targetEff) ||
+          elapsedSec + (bestLo.wallSec + bestHi.wallSec) * 1.2 > budgetSec
+      }
     }
-    (bestLo, bestHi, los.result(), his.result())
+    (bestLo, bestHi, los.toSeq, his.toSeq, q)
   }
 
   private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): CrawlResult = {
@@ -327,8 +354,7 @@ object Bench {
       System.err.println(f"[bench] calibration: lo($lo) $calibQ queries in ${burn.wallSec}%.1fs then ${calib.wallSec}%.1fs -> workload $sized queries")
       sized
     }
-    val batch = sys.env.get("BENCH_BATCH").map(_.toInt).getOrElse(nQueries)
-    val benchCfg = sizedCfg(nQueries)
+    def batchOf(q: Int): Int = sys.env.get("BENCH_BATCH").map(_.toInt).getOrElse(q)
     // noise robustness: a single attempt on this shared host is a coin flip
     // (observed identical-workload local[32] walls 24-112s under host
     // noise). Adaptive interleaved best-of-N: calm-gated attempts repeat
@@ -337,8 +363,12 @@ object Bench {
     val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "3").toInt
     val targetEff = sys.env.getOrElse("BENCH_TARGET_EFF", "0.84").toDouble
     val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "480").toLong
-    val (loRes, hiRes, loAll, hiAll) =
-      crawlBenchInterleaved(lo, hiCrawl, nQueries, batch, benchCfg, maxAttempts, targetEff, budgetSec)
+    // undershoot guard armed only when the workload was auto-calibrated
+    val guardTarget = if (sys.env.contains("BENCH_QUERIES")) 0.0 else loTargetSec
+    val (loRes, hiRes, loAll, hiAll, finalQ) =
+      crawlBenchInterleaved(lo, hiCrawl, nQueries, batchOf, sizedCfg,
+        maxAttempts, targetEff, budgetSec, guardTarget)
+    val benchCfg = sizedCfg(finalQ)
     val attempts = loAll.size
     val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (hiCrawl.toDouble / lo)
     val controlEff = cpuControlEff(lo, hiCrawl)
@@ -349,6 +379,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"urls_seen":${hiRes.seen},"queries":$nQueries,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"urls_seen":${hiRes.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }

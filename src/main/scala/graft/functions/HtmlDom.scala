@@ -6,14 +6,84 @@ import scala.collection.mutable.ArrayBuffer
   * reference's BeautifulSoup(html.parser) subset the pipeline exercises:
   * nested elements, attribute order/whitespace/quote variance, void
   * elements, comments/doctype, script/style raw text, mismatched close tags
-  * (pop-to-match), and html.parser's implied closes for `li`/`p`.
+  * (pop-to-match), implied end tags for list/table/definition/option
+  * content, and character-reference decoding (numeric `&#..;`/`&#x..;` +
+  * the named core set) in text runs and attribute values — script/style
+  * raw text is NOT decoded, matching html.parser CDATA handling.
   *
-  * Deliberately NOT a spec-complete parser (no entity decoding, no full
-  * implied-end-tag table) — the extractor's semantics (helper_classes.py,
-  * scraper.py) only depend on tree shape, document order, attributes, and
-  * text, which this models faithfully for real-world-shaped pages.
+  * Deliberately NOT a spec-complete parser (the named-entity table is the
+  * common core, not all 2k HTML5 refs) — the extractor's semantics
+  * (helper_classes.py, scraper.py) only depend on tree shape, document
+  * order, attributes, and text, which this models faithfully for
+  * real-world-shaped pages.
   */
 object HtmlDom {
+
+  /** Named character references (common core; numeric refs cover the rest). */
+  private val NamedRefs: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "hellip" -> "…", "mdash" -> "—",
+    "ndash" -> "–", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "laquo" -> "«",
+    "raquo" -> "»", "times" -> "×", "divide" -> "÷",
+    "deg" -> "°", "plusmn" -> "±", "middot" -> "·",
+    "bull" -> "•", "dagger" -> "†", "sect" -> "§",
+    "para" -> "¶", "micro" -> "µ", "euro" -> "€",
+    "pound" -> "£", "yen" -> "¥", "cent" -> "¢",
+    "szlig" -> "ß", "agrave" -> "à", "aacute" -> "á",
+    "eacute" -> "é", "egrave" -> "è", "iacute" -> "í",
+    "oacute" -> "ó", "uacute" -> "ú", "ntilde" -> "ñ",
+    "ouml" -> "ö", "uuml" -> "ü", "auml" -> "ä")
+
+  /** Decode character references the way BeautifulSoup hands text to the
+    * extractor: `&#NN;`, `&#xHH;`, and named refs from the core table;
+    * anything unrecognized passes through verbatim.
+    */
+  def decodeEntities(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val sb = new java.lang.StringBuilder(s.length) // 3-arg append(CharSequence,int,int)
+    var i = 0
+    while (amp >= 0) {
+      sb.append(s, i, amp)
+      val semi = s.indexOf(';', amp + 1)
+      // entity names are short; a distant ';' means this '&' is literal
+      if (semi > amp && semi - amp <= 10) {
+        val body = s.substring(amp + 1, semi)
+        val decoded: Option[String] =
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            try Some(Character.toString(Integer.parseInt(body.drop(2), 16)))
+            catch { case _: Exception => None }
+          else if (body.startsWith("#"))
+            try Some(Character.toString(Integer.parseInt(body.drop(1))))
+            catch { case _: Exception => None }
+          else NamedRefs.get(body)
+        decoded match {
+          case Some(d) => sb.append(d); i = semi + 1
+          case None => sb.append('&'); i = amp + 1
+        }
+      } else { sb.append('&'); i = amp + 1 }
+      amp = s.indexOf('&', i)
+    }
+    sb.append(s, i, s.length)
+    sb.toString
+  }
+
+  /** Implied end tags: an opening tag in the KEY set pops any open tag in
+    * the VALUE set first (the html.parser-builder behavior for messy pages
+    * that omit `</li>`, `</td>`, `</dd>`, `</option>`, ...).
+    */
+  private val ImpliedClose: Map[String, Set[String]] = Map(
+    "li" -> Set("li"), "p" -> Set("p"),
+    "dd" -> Set("dd", "dt"), "dt" -> Set("dd", "dt"),
+    "td" -> Set("td", "th"), "th" -> Set("td", "th"),
+    "tr" -> Set("td", "th", "tr"),
+    "thead" -> Set("td", "th", "tr", "tbody", "thead", "tfoot"),
+    "tbody" -> Set("td", "th", "tr", "tbody", "thead", "tfoot"),
+    "tfoot" -> Set("td", "th", "tr", "tbody", "thead", "tfoot"),
+    "option" -> Set("option"),
+    "optgroup" -> Set("option", "optgroup"))
 
   /** Element node; children hold elements and text runs in document order.
     * `childPos` = position among the parent's children (text runs count —
@@ -80,7 +150,7 @@ object HtmlDom {
     var i = 0
 
     def addText(s: String): Unit =
-      if (s.nonEmpty) stack.head.children += Right(s)
+      if (s.nonEmpty) stack.head.children += Right(decodeEntities(s))
 
     /** '>' terminating a tag, skipping quoted attribute values. */
     def tagEnd(from: Int): Int = {
@@ -128,10 +198,11 @@ object HtmlDom {
               addText(html.substring(lt, end + 1)); i = end + 1
             } else {
               val attrs = parseAttrs(if (sp < 0) "" else body.drop(sp))
-              // html.parser implied closes the generator relies on never
-              // emitting, but messy pages do: li closes li, p closes p
-              if ((name == "li" && stack.head.tag == "li") ||
-                (name == "p" && stack.head.tag == "p")) stack = stack.tail
+              // implied end tags (messy pages omit </li>, </td>, </dd>, ...):
+              // pop every open tag the new tag implicitly closes
+              ImpliedClose.get(name).foreach { closes =>
+                while (closes(stack.head.tag)) stack = stack.tail
+              }
               val node = new Node(name, attrs, stack.head, stack.head.children.length)
               stack.head.children += Left(node)
               if (name == "script" || name == "style") {
@@ -178,12 +249,12 @@ object HtmlDom {
             val q = s.charAt(j)
             val vEnd = s.indexOf(q, j + 1)
             val v = if (vEnd < 0) s.substring(j + 1) else s.substring(j + 1, vEnd)
-            out += name -> v
+            out += name -> decodeEntities(v)
             i = if (vEnd < 0) s.length else vEnd + 1
           } else {
             val vStart = j
             while (j < s.length && !s.charAt(j).isWhitespace) j += 1
-            out += name -> s.substring(vStart, j)
+            out += name -> decodeEntities(s.substring(vStart, j))
             i = j
           }
         } else { out += name -> ""; i = i.max(j) }

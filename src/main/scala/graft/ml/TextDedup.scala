@@ -387,6 +387,15 @@ object TextDedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = pairs.sparkSession
+    // lineage truncation between rounds: when the application has a RELIABLE
+    // checkpoint dir configured (spark.sparkContext.setCheckpointDir — the
+    // 100-TB deployment, where executors are lost routinely and
+    // localCheckpoint blocks would be too), use reliable checkpoints;
+    // otherwise fall back to localCheckpoint (single-app local runs)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint(true)
     var edges = pairs.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       .filter($"u" =!= $"v").distinct()
       .persist()
@@ -414,7 +423,7 @@ object TextDedup {
         .select($"n".as("u"), $"m".as("v")).distinct()
         // truncate lineage across rounds (star-contraction is iterative;
         // without this the plan doubles every round)
-        .localCheckpoint(true)
+        .transform(truncate)
       val changed = next.unionByName(edges).groupBy($"u", $"v")
         .agg(count(lit(1)).as("c")).filter($"c" =!= 2).limit(1).count() > 0
       edges.unpersist()

@@ -37,6 +37,48 @@ class SpanExtractorSpec extends AnyFunSuite {
         "- alpha\n- beta\n\n> quoted text\n1. one\n")
   }
 
+  test("entities decode in text runs and attributes; script stays raw (BeautifulSoup parity)") {
+    val html =
+      """<title>Fish &amp; Chips &#x27;best&#x27;</title>
+        |<meta name="description" content="tea &amp; scones &copy; caf&eacute;">
+        |<h2>A &lt;tag&gt; &ndash; 5&#176; &euro;9</h2>
+        |<p>this &quot;quoted&quot; paragraph is long enough to survive the filter &amp; then some</p>
+        |<script>if (a &amp;&amp; b) x = 1;</script>
+        |<p>unknown &nosuch; stays &amp verbatim and so does a lone & ampersand ok</p>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    assert(ex.pageTitle == "Fish & Chips 'best'")
+    assert(ex.pageSummary == "tea & scones © café")
+    assert(ex.spans.find(_.kind == "heading").get.text == "## A <tag> – 5° €9")
+    assert(ex.spans.exists(_.text.contains("this \"quoted\" paragraph")))
+    // unrecognized/unterminated refs pass through verbatim
+    assert(ex.spans.exists(_.text.contains("unknown &nosuch; stays &amp verbatim")))
+    // script raw text is NOT entity-decoded (html.parser CDATA mode)
+    val script = HtmlDom.parse(html).findAll(Set("script")).head
+    assert(script.children.head == Right("if (a &amp;&amp; b) x = 1;"))
+  }
+
+  test("implied end tags: table/dd/option content lands in the right cells") {
+    val root = HtmlDom.parse(
+      """<table>
+        |<tr><td>cell one<td>cell two
+        |<tr><th>head a<td>cell b
+        |</table>
+        |<dl><dt>term<dd>def one<dd>def two</dl>
+        |<select><option>first<option>second</select>""".stripMargin)
+    val cells = root.findAll(Set("td", "th"))
+    assert(cells.map(_.textStrip) == Vector("cell one", "cell two", "head a", "cell b"))
+    // each cell is a SIBLING under its row, not nested inside the previous cell
+    assert(cells.forall(c => c.parent.tag == "tr"))
+    val rows = root.findAll(Set("tr"))
+    assert(rows.size == 2 && rows.forall(_.parent.tag == "table"))
+    val dds = root.findAll(Set("dd", "dt"))
+    assert(dds.map(_.textStrip) == Vector("term", "def one", "def two"))
+    assert(dds.forall(_.parent.tag == "dl"))
+    val opts = root.findAll(Set("option"))
+    assert(opts.map(_.textStrip) == Vector("first", "second"))
+    assert(opts.forall(_.parent.tag == "select"))
+  }
+
   test("summary fallback: first <p> longer than 50 chars (helper_classes.py:31-36)") {
     val html =
       """<title>T</title>

@@ -61,6 +61,43 @@ class MlSpec extends AnyFunSuite {
     assert(want.subsetOf(got), s"missing: ${want -- got}")
   }
 
+  test("simhash oracle-equality preconditions hold: radius covers J>=0.9 pairs, none shed") {
+    // The claim "simhash exact-verified output == exhaustive Jaccard>=0.9
+    // pair set" is CORPUS-DEPENDENT: it needs (1) every such pair within
+    // the claimed hamming radius and (2) none of them lost to a shed
+    // bucket. Pin both preconditions explicitly so a fixture change that
+    // silently breaks them fails HERE, not nondeterministically in the
+    // driver gate. (Radius vs doc length: a 1-token edit on an n-token doc
+    // flips E ~ 64*0.056 ~ 3.6 bits; J=0.9 on SHORT docs can flip >6 of 64
+    // bits — this test is what licenses radius 6 for this fixture family.)
+    val oracle = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val sh = planted.as[(Long, String)].collect()
+      .map { case (id, t) => id -> TextDedup.simhash64Kernel(t) }.toMap
+    // (1) radius: every oracle pair within hamming 6
+    oracle.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(d <= 6, s"oracle pair ($a,$b) at hamming $d > radius 6")
+    }
+    // (2) shedding: with the production maxBucket, every oracle pair still
+    // surfaces as a candidate (i.e. shares at least one unshed chunk bucket)
+    val cands = TextDedup.simhashCandidates(planted, maxBucket = 1000)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(oracle.subsetOf(cands), s"oracle pairs lost to shed buckets: ${oracle -- cands}")
+  }
+
+  test("connected components resolve a 4096-node chain (adversarial depth) in O(log n) rounds") {
+    // a path graph is the worst case for star-contraction depth; maxIter 30
+    // bounds rounds well under the 50 default while >> log2(4096)=12 —
+    // convergence inside it IS the O(log n) evidence (linear propagation
+    // would need ~4096 rounds)
+    val chain = (0 until 4095).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = TextDedup.connectedComponents(chain, maxIter = 30)
+      .as[(Long, Long)].collect()
+    assert(got.length == 4096)
+    assert(got.forall(_._2 == 0L), "every chain node must resolve to keep_id 0")
+  }
+
   test("minhash verified near-dups equal the exhaustive exact-jaccard pair set") {
     val exact = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.8)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
