@@ -84,6 +84,21 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(oraImages.nonEmpty, "fixture must produce image records")
   }
 
+  test("over-budget tiers: zero byte budget skips cuckoo builds and bloom broadcast, parity holds") {
+    // tierBroadcastBytes=1 puts EVERY hot host over the per-host budget (no
+    // cuckoo filter is ever built) and forces the bloom probe join onto the
+    // co-partitioned (non-broadcast) path — routing tiers are accelerators,
+    // so the exact anti-join must keep the seen set oracle-equal
+    val dir = tempDir("overbudget")
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, dir, batchSize,
+      hotHostCount = 3, tierBroadcastBytes = 1L)
+    eng.run(seeds)
+    assert(eng.seenSet() == oracle.seen)
+    assert(eng.crawlOrder() == oracle.crawlOrder)
+    assert(eng.cuckooT.currentSnapshot.forall(_.rowCount == 0),
+      "no cuckoo filter may be built under a zero byte budget")
+  }
+
   test("resume with an active frontier: stop after generation 1, finish identically") {
     val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
     val dir = tempDir("resume-exp")
