@@ -78,6 +78,55 @@ class PlanSpec extends AnyFunSuite {
       s"probe filter not in a codegen stage:\n$plan")
   }
 
+  test("simhash/minhash/fingerprint stages carry no ScalaUDF (native expressions only)") {
+    // the per-document first stages of the dedup/fingerprint families are
+    // native codegen'd expressions — a ScalaUDF reappearing here is a plan
+    // regression (row-boxing boundary on the corpus-wide hot path)
+    Seq("q_dedup_simhash", "q_dedup_minhash", "q_fingerprint").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("ScalaUDF"), s"$q plan contains a ScalaUDF:\n$plan")
+    }
+  }
+
+  test("crawl generation DAG carries no ScalaUDF (pdf confirm + frontier score are native)") {
+    import graft.pipeline.CrawlEngine
+    import graft.synth.WebConfig
+    // run one expansion-enabled generation and inspect every plan Spark
+    // executed for it: the confirms_pdf and link_score paths must stay
+    // codegen'd native expressions
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+      val eng = new CrawlEngine(spark, WebConfig(seed = 42, nHosts = 30, resultsPerPage = 6),
+        dir, batchSize = 4, expandTopK = 2)
+      eng.run((1 to 4).map(i => s"singapore topic $i query"))
+      // listener events post asynchronously; wait until the stream quiesces
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(300)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val offending = plans.synchronized(plans.filter(_.contains("ScalaUDF")))
+      assert(offending.isEmpty,
+        s"generation DAG executed ${offending.size} plan(s) with ScalaUDF:\n${offending.headOption.getOrElse("")}")
+      assert(plans.synchronized(plans.exists(_.contains("confirms_pdf"))) ||
+        plans.synchronized(plans.exists(_.contains("link_score"))),
+        "expected the native pdf/score expressions to appear in executed plans")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("crawl generation plan: dedup anti-join reuses the href hash partitioning") {
     // the first-seen window partitions by href; the following anti-join on
     // href must not introduce a second exchange of the candidate stream
