@@ -26,10 +26,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def session(cores: Int): SparkSession = {
+    // shuffle partitions = mult × cores: with exactly one partition per
+    // core, one straggler (Zipf host skew) idles the rest of the width for
+    // the whole stage tail; 2× gives the scheduler units to pack (AQE
+    // re-coalesces where they are too small)
+    val mult = sys.env.getOrElse("BENCH_SHUFFLE_MULT", "2").toInt
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (mult * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the commit window runs ~10 concurrent write jobs; FIFO lets one
@@ -302,6 +307,12 @@ object Bench {
     // ---- per-query timings on the sf dir (skippable for crawl probes) ----
     val results = if (sys.env.get("BENCH_SKIP_QUERIES").contains("1")) Seq.empty else {
       val spark = session(cpus)
+      // JIT/codegen warmup at sf0.001 so the alphabetically-first timed
+      // query doesn't absorb the JVM's first-run compilation cost
+      try {
+        SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
+        SparkEntry.queries("q_dedup_exact")(spark, "/root/testdata/sf0.001").count()
+      } catch { case _: Throwable => () }
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -360,9 +371,9 @@ object Bench {
     // noise). Adaptive interleaved best-of-N: calm-gated attempts repeat
     // until best-of efficiency reaches BENCH_TARGET_EFF or the time budget
     // runs out; every attempt's wall+throughput is emitted in the JSON.
-    val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "3").toInt
+    val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "4").toInt
     val targetEff = sys.env.getOrElse("BENCH_TARGET_EFF", "0.84").toDouble
-    val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "480").toLong
+    val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "620").toLong
     // undershoot guard armed only when the workload was auto-calibrated
     val guardTarget = if (sys.env.contains("BENCH_QUERIES")) 0.0 else loTargetSec
     val (loRes, hiRes, loAll, hiAll, finalQ) =

@@ -70,6 +70,16 @@ object CrawlMain {
         Option(s.media_ref).map(m => s" [$m]").getOrElse("")))
     }
 
+    // table maintenance (GRAFT_MAINTAIN=1): compaction + history vacuum —
+    // the between-runs job that keeps the snapshot tables from small-files
+    // decay; correctness never depends on it
+    if (sys.env.get("GRAFT_MAINTAIN").contains("1")) {
+      val before = engine.seenT.currentSnapshot.map(_.files.size).getOrElse(0)
+      val reclaimed = engine.maintain().values.sum
+      val after = engine.seenT.currentSnapshot.map(_.files.size).getOrElse(0)
+      println(s"[crawl] maintain: seen files $before -> $after, $reclaimed expired data files deleted")
+    }
+
     // optional reference-shaped JSONL export (F6/F7) — timestamps render at
     // this edge only, never inside engine tables
     args.lift(8).foreach { exportDir =>

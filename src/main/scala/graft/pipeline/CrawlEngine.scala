@@ -647,6 +647,23 @@ final class CrawlEngine(
     counters
   }
 
+  /** Table maintenance (the Iceberg maintenance-job analogue; run between
+    * crawls, never required for correctness): bin-pack compact every table
+    * whose current file list fragments past `targetFileBytes` packing, then
+    * vacuum expired history + rollback orphans. At 10⁴ generations the seen
+    * table would otherwise carry one file set per generation — the classic
+    * small-files decay. keepSnapshots=2 preserves exactly the rollback
+    * depth [[rollbackPartial]] needs (one uncommitted generation).
+    */
+  def maintain(targetFileBytes: Long = 128L << 20, keepSnapshots: Int = 2): Map[String, Int] = {
+    val tables = Seq(seenT, linksT, docsT, imagesT, pdfT, processedT,
+      hostStateT, metricsT, eventsT, frontierT, partitionMetricsT, bloomT, cuckooT)
+    tables.map { t =>
+      t.compact(spark, targetFileBytes)
+      t.name -> t.vacuum(keepSnapshots)
+    }.toMap
+  }
+
   // ------------------------------------------------------- verification IO
   def seenSet(): Set[String] =
     seenT.read(spark).map(_.select($"href").as[String].collect().toSet).getOrElse(Set.empty)

@@ -141,6 +141,63 @@ final class SnapshotTable(val root: Path, val name: String) {
     }
   }
 
+  /** Bin-pack compaction — the operational answer to the small-files
+    * problem this table layout accumulates at scale (every generation's
+    * append adds one file set; at 10⁴ generations a 10¹⁰-row seen table
+    * would otherwise carry ~10⁵ files and every scan pays the open/footer
+    * cost per file). Rewrites the CURRENT file list into
+    * ceil(totalBytes / targetFileBytes) files via a replace commit; history
+    * stays time-travelable (old snapshots keep their file lists until
+    * [[vacuum]]). No-op (None) when the table is empty or already compact.
+    */
+  def compact(spark: SparkSession, targetFileBytes: Long = 128L << 20): Option[SnapshotMeta] =
+    currentSnapshot.filter(_.files.nonEmpty).flatMap { cur =>
+      val totalBytes = cur.files.map(f =>
+        try Files.size(Paths.get(f.path)) catch { case _: Exception => 0L }).sum
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      if (cur.files.size <= nFiles) None
+      else {
+        val df = spark.read.parquet(cur.files.map(_.path): _*)
+        // coalesce, not repartition: compaction is an IO rewrite, no shuffle
+        Some(replace(df.coalesce(nFiles), cur.generation, cur.counters))
+      }
+    }
+
+  /** Expire history: keep the last `keepSnapshots` snapshots on the current
+    * chain, delete every other snapshot manifest and every data file no
+    * kept snapshot references (rollback orphans included). Returns the
+    * number of data files deleted. Time-travel to expired snapshots is gone
+    * afterwards — the Iceberg expire-snapshots contract.
+    */
+  def vacuum(keepSnapshots: Int = 2): Int = {
+    val cur = currentSnapshot match {
+      case Some(c) => c
+      case None => return 0
+    }
+    // walk the parent chain from current
+    val keep = scala.collection.mutable.ListBuffer[SnapshotMeta](cur)
+    while (keep.size < keepSnapshots && keep.last.parentId >= 0)
+      keep += snapshot(keep.last.parentId)
+    val keepIds = keep.map(_.snapshotId).toSet
+    val referenced = keep.flatMap(_.files.map(f => Paths.get(f.path).normalize.toString)).toSet
+    // drop expired manifests (everything not on the kept chain)
+    history.filterNot(m => keepIds(m.snapshotId))
+      .foreach(m => Files.deleteIfExists(snapDir.resolve(s"snapshot-${m.snapshotId}.json")))
+    // delete unreferenced data files, then empty s<id> dirs
+    val dataRoot = tableDir.resolve("data")
+    if (!Files.exists(dataRoot)) return 0
+    var deleted = 0
+    Files.walk(dataRoot).iterator.asScala.toList.reverse.foreach { p =>
+      if (Files.isRegularFile(p) && !referenced(p.normalize.toString)) {
+        Files.deleteIfExists(p); deleted += 1
+      } else if (Files.isDirectory(p) && p != dataRoot) {
+        try { if (!Files.list(p).iterator.hasNext) Files.deleteIfExists(p) }
+        catch { case _: Exception => () }
+      }
+    }
+    deleted
+  }
+
   private def listParquet(dir: Path): List[Path] =
     Files.list(dir).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toList.sortBy(_.toString)

@@ -99,6 +99,23 @@ class OracleEngineParitySpec extends AnyFunSuite {
       "no cuckoo filter may be built under a zero byte budget")
   }
 
+  test("maintain (compact + vacuum) between runs: state identical, resume still a no-op") {
+    val dir = tempDir("maintain")
+    val eng = newEngine(dir)
+    eng.run(seeds)
+    val filesBefore = eng.seenT.currentSnapshot.get.files.size
+    val report = eng.maintain(targetFileBytes = 1L << 30) // pack each table to 1 file
+    assert(report.values.sum > 0, "vacuum must reclaim expired snapshot files")
+    assert(eng.seenT.currentSnapshot.get.files.size <= filesBefore)
+    // observable state unchanged by maintenance
+    assert(eng.seenSet() == oracle.seen)
+    assert(eng.crawlOrder() == oracle.crawlOrder)
+    // resume on the maintained store: nothing to do, state intact
+    val eng2 = newEngine(dir)
+    assert(eng2.run(seeds) == 0)
+    assert(eng2.seenSet() == oracle.seen)
+  }
+
   test("resume with an active frontier: stop after generation 1, finish identically") {
     val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
     val dir = tempDir("resume-exp")
