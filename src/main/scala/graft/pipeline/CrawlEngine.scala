@@ -75,7 +75,8 @@ final class CrawlEngine(
     hotHostCount: Int = 8,
     expandTopK: Int = 0,
     bloomBuckets: Int = 32,
-    tierBroadcastBytes: Long = 512L << 20) extends Serializable {
+    tierBroadcastBytes: Long = 512L << 20,
+    seenSemiFilterRows: Long = 10L * 1000 * 1000) extends Serializable {
 
   import spark.implicits._
 
@@ -368,8 +369,29 @@ final class CrawlEngine(
         }).drop("bucket", "bits")
         val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
         val maybe = probed.filter($"maybe_seen").drop("maybe_seen")
-          .join(seenDf.select($"href"), Seq("href"), "left_anti")
-        defNew.unionByName(maybe)
+        // The exact anti-join's seen side would otherwise SHUFFLE the whole
+        // table every generation — at 10^10 seen rows that is the last
+        // remaining O(|seen|) shuffle in the DAG. Runtime semi-filter: a
+        // bloom aggregated over the (small) maybe side broadcasts to the
+        // seen scan and reduces it to ~|maybe| rows BEFORE the exchange —
+        // scan-heavy, shuffle-light, the same trade Spark's runtime bloom
+        // join filters make. False positives just shuffle a few extra rows;
+        // membership is still decided by the exact anti-join. Gated: below
+        // seenSemiFilterRows the table is too small for the extra bloom
+        // job to pay for itself (and a maybe-bloom sized past the
+        // broadcast budget disables it — correctness never depends on it).
+        val maybeBloomBytes = (BlockedBloom.blocksFor(
+          math.max(1L, nCandidates), bloomBitsPerKey).toLong * 64 + 64)
+        val seenSide =
+          if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
+            maybeBloomBytes <= tierBroadcastBytes) {
+            val nbM = BlockedBloom.blocksFor(math.max(1L, nCandidates), bloomBitsPerKey)
+            val maybeBloom = maybe.agg(expr(s"bloom_agg(href, $nbM, 7)").as("mbits"))
+            seenDf.select($"href").join(broadcast(maybeBloom))
+              .filter(expr("bloom_might_contain(mbits, href)"))
+              .select($"href")
+          } else seenDf.select($"href")
+        defNew.unionByName(maybe.join(seenSide, Seq("href"), "left_anti"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- P4: relevance gate (deterministic 2-of-3 vote) ----------------

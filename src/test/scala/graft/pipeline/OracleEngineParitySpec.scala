@@ -99,6 +99,19 @@ class OracleEngineParitySpec extends AnyFunSuite {
       "no cuckoo filter may be built under a zero byte budget")
   }
 
+  test("runtime semi-filter on the seen side (forced on): parity holds") {
+    // seenSemiFilterRows=1 forces the maybe-bloom reduction of the anti-
+    // join's seen side in every generation after the first — the seen set
+    // and crawl order must be unchanged (the filter only sheds rows the
+    // exact join would not match anyway; FPs shuffle, never drop)
+    val dir = tempDir("semifilter")
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, dir, batchSize,
+      seenSemiFilterRows = 1L)
+    eng.run(seeds)
+    assert(eng.seenSet() == oracle.seen)
+    assert(eng.crawlOrder() == oracle.crawlOrder)
+  }
+
   test("maintain (compact + vacuum) between runs: state identical, resume still a no-op") {
     val dir = tempDir("maintain")
     val eng = newEngine(dir)
