@@ -528,8 +528,9 @@ final class CrawlEngine(
     // N→4N scaling; the defensive materialize-then-commit shape is the one
     // that scales.)
     newLinks.count()
+    lap("compute-dedup")
     fetched.count()
-    lap("compute")
+    lap("compute-fetch")
 
     // ---- commits (processed_queries LAST — K3 barrier) -----------------
     // Independent table commits run as CONCURRENT Spark jobs (separate
