@@ -174,11 +174,12 @@ object Bench {
                                     batchOf: Int => Int, cfgOf: Int => WebConfig,
                                     maxAttempts: Int, targetEff: Double,
                                     budgetSec: Long, loTargetSec: Double)
-  : (CrawlResult, CrawlResult, Seq[CrawlResult], Seq[CrawlResult], Int) = {
+  : (CrawlResult, CrawlResult, Seq[CrawlResult], Seq[CrawlResult], Seq[Double], Int) = {
     val t0 = System.nanoTime()
     def elapsedSec = (System.nanoTime() - t0) / 1e9
     val los = scala.collection.mutable.ArrayBuffer.empty[CrawlResult]
     val his = scala.collection.mutable.ArrayBuffer.empty[CrawlResult]
+    val ctls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var q = nQueries
     var resized = false
     var bestPair: (CrawlResult, CrawlResult) = null
@@ -200,7 +201,7 @@ object Bench {
             f"target $loTargetSec%.0fs -> workload $nq queries (was $q); restarting attempts")
           q = nq
           attempt = 0
-          los.clear(); his.clear(); bestPair = null; bestPairEff = 0.0
+          los.clear(); his.clear(); ctls.clear(); bestPair = null; bestPairEff = 0.0
         }
       }
       if (attempt > 0) { // not reset by a resize
@@ -209,11 +210,17 @@ object Bench {
         System.gc()
         val h = crawlBench(hi, q, batchOf(q), cfgOf(q))
         his += h
+        // quick per-attempt memory control (~4s): what the MACHINE gave in
+        // THIS window, so every pair-eff is readable against its own
+        // hardware ceiling (intra-attempt drift becomes visible, not
+        // arguable)
+        val wCtl = memControlEff(lo, hi, passes = 30)
+        ctls += wCtl
         val pairEff = (h.urlsPerSec / l.urlsPerSec) / (hi.toDouble / lo)
         if (bestPair == null || pairEff > bestPairEff) {
           bestPair = (l, h); bestPairEff = pairEff
         }
-        System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs pair-eff=$pairEff%.3f best=$bestPairEff%.3f elapsed=${elapsedSec}%.0fs")
+        System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs pair-eff=$pairEff%.3f (mem-ctl $wCtl%.3f) best=$bestPairEff%.3f elapsed=${elapsedSec}%.0fs")
         // stop early once the efficiency criterion is comfortably met — but
         // only after ≥2 attempts, so one lucky window can't decide alone —
         // or when another attempt would blow the round budget
@@ -222,7 +229,7 @@ object Bench {
           elapsedSec + (bestPair._1.wallSec + bestPair._2.wallSec) * 1.2 > budgetSec
       }
     }
-    (bestPair._1, bestPair._2, los.toSeq, his.toSeq, q)
+    (bestPair._1, bestPair._2, los.toSeq, his.toSeq, ctls.toSeq, q)
   }
 
   private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): CrawlResult = {
@@ -297,13 +304,12 @@ object Bench {
     * against: a guest whose memory controller saturates at width W caps
     * every memory-bound workload's scaling at that width, engine or not.
     */
-  private def memControlEff(lo: Int, hi: Int): Double = {
+  private def memControlEff(lo: Int, hi: Int, passes: Int = 120): Double = {
     def burn(threads: Int): Double = {
       pinCpus(threads)
       val loaders = backgroundLoad(threads)
       try {
         val words = 8 * 1024 * 1024 // 64 MB per thread
-        val passes = 120
         val t0 = System.nanoTime()
         val ts = (0 until threads).map { _ =>
           val t = new Thread(() => {
@@ -433,7 +439,7 @@ object Bench {
     val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "800").toLong
     // undershoot guard armed only when the workload was auto-calibrated
     val guardTarget = if (sys.env.contains("BENCH_QUERIES")) 0.0 else loTargetSec
-    val (loRes, hiRes, loAll, hiAll, finalQ) =
+    val (loRes, hiRes, loAll, hiAll, attemptCtls, finalQ) =
       crawlBenchInterleaved(lo, hiCrawl, nQueries, batchOf, sizedCfg,
         maxAttempts, targetEff, budgetSec, guardTarget)
     val benchCfg = sizedCfg(finalQ)
@@ -453,6 +459,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"urls_seen":${hiRes.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${hiRes.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }
