@@ -452,6 +452,12 @@ object Bench {
       (hiCrawl.toDouble / lo)
     val controlEff = cpuControlEff(lo, hiCrawl)
     val memControl = memControlEff(lo, hiCrawl)
+    // headline throughput at FULL width (SPARK_GRAFT_CPUS, unpinned-wide):
+    // the scaling pair runs narrow on purpose (see pair policy), but the
+    // absolute urls/s progression across rounds is tracked at full width
+    waitForCalm(15000)
+    val full = crawlBench(cpus, finalQ, batchOf(finalQ), sizedCfg(finalQ))
+    System.err.println(f"[bench] full-width($cpus): wall=${full.wallSec}%.1fs urls/s=${full.urlsPerSec}%.1f")
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum
@@ -459,6 +465,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${hiRes.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${hiRes.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }
