@@ -96,16 +96,23 @@ object HtmlDom {
     var index: Int = -1 // preorder document position
 
     /** BeautifulSoup get_text(strip=True): stripped non-empty descendant
-      * strings joined with "".
+      * strings joined with "". Memoized — the tree is immutable after
+      * parse, and the extraction passes (summary fallback, links, content
+      * spans, per-image surrounding-text walks) hit the same nodes
+      * repeatedly.
       */
+    private var textStripCache: String = null
     def textStrip: String = {
-      val sb = new StringBuilder
-      def walk(n: Node): Unit = n.children.foreach {
-        case Right(s) => val t = s.trim; if (t.nonEmpty) sb.append(t)
-        case Left(c) => walk(c)
+      if (textStripCache == null) {
+        val sb = new StringBuilder
+        def walk(n: Node): Unit = n.children.foreach {
+          case Right(s) => val t = s.trim; if (t.nonEmpty) sb.append(t)
+          case Left(c) => walk(c)
+        }
+        walk(this)
+        textStripCache = sb.toString
       }
-      walk(this)
-      sb.toString
+      textStripCache
     }
 
     /** Descendant elements with any of `tags`, document order (like

@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object Predicates {
 
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private val PdfCgi = "\\b(viewcontent|article)\\.cgi\\?".r
+  private val PdfWords = "\\b(attachment|download|file|document)\\b".r
+
   /** whitespace-normalize + lower (helper_classes.py:13-16). */
   def normalizeText(s: String): String =
-    s.trim.toLowerCase.replaceAll("\\s+", " ")
+    WsRun.matcher(s.trim.toLowerCase).replaceAll(" ")
 
   def normalizeTextCol(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
@@ -29,8 +33,8 @@ object Predicates {
     val p = UrlFunctions.urlsplit(url.toLowerCase)
     p.path.endsWith(".pdf") ||
     p.path.contains("pdf") || p.query.contains("pdf") ||
-    "\\b(viewcontent|article)\\.cgi\\?".r.findFirstIn(p.path).isDefined ||
-    "\\b(attachment|download|file|document)\\b".r.findFirstIn(p.path).isDefined
+    PdfCgi.findFirstIn(p.path).isDefined ||
+    PdfWords.findFirstIn(p.path).isDefined
   }
 
   /** Column form over (path, query) columns extracted from a URL column. */

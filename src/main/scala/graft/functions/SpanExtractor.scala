@@ -66,6 +66,13 @@ object SpanExtractor {
   private val ContentTags = Set("h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "ol", "blockquote")
   private val TextTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5", "h6")
   private val ClassScopeRe = "content|main|article".r
+  // hot-loop statics: this code runs once per page / per image — patterns
+  // and sets are compiled/allocated once, never per call
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private val WsSplit = WsRun
+  private val KwSibTags = Set("p", "div", "span")
+  private val CaptionKeywords = Seq("caption", "image", "photo", "picture", "source")
+  private val LiTag = Set("li")
 
   /** Full extraction: HTML → interleaved span sequence + derived fields. */
   def extract(pageUrl: String, html: String): PageExtract = {
@@ -93,7 +100,7 @@ object SpanExtractor {
     val mainContent: Node = all.find(_.tag == "main")
       .orElse(all.find(_.tag == "article"))
       .orElse(all.find(n => n.tag == "div" && n.attrs.get("class").exists(cls =>
-        cls.split("\\s+").exists(c => ClassScopeRe.findFirstIn(c).isDefined))))
+        WsSplit.split(cls).exists(c => ClassScopeRe.findFirstIn(c).isDefined))))
       .getOrElse(root)
 
     val contentEls = mainContent.findAll(ContentTags)
@@ -142,7 +149,7 @@ object SpanExtractor {
           if (t.length > 20) add(SpanKind.Para, t)
         case "ul" | "ol" =>
           val prefix = if (n.tag == "ol") "1. " else "- "
-          n.findAll(Set("li")).map(_.textStrip).filter(_.nonEmpty)
+          n.findAll(LiTag).map(_.textStrip).filter(_.nonEmpty)
             .foreach(it => add(SpanKind.ListItem, prefix + it))
         case "blockquote" =>
           val t = n.textStrip
@@ -215,15 +222,18 @@ object SpanExtractor {
       .map(_.textStrip).filter(_.nonEmpty)
 
     val kwSib = img.parent.children.iterator.drop(img.childPos + 1)
-      .collect { case Left(n) if Set("p", "div", "span")(n.tag) => n.textStrip }
+      .collect { case Left(n) if KwSibTags(n.tag) => n.textStrip }
       .take(3)
-      .find(t => t.nonEmpty && Seq("caption", "image", "photo", "picture", "source")
-        .exists(k => t.toLowerCase.contains(k)))
+      .find(t => t.nonEmpty && {
+        val tl = t.toLowerCase
+        CaptionKeywords.exists(tl.contains)
+      })
 
     val joined = (nearby(img, prevDir = true).toSeq ++ fig.toSeq ++ kwSib.toSeq ++
       nearby(img, prevDir = false).toSeq)
-      .mkString(" ").replaceAll("\\s+", " ")
-    joined.take(maxChars) + (if (joined.length > maxChars) "…" else "")
+      .mkString(" ")
+    val collapsed = WsRun.matcher(joined).replaceAll(" ")
+    collapsed.take(maxChars) + (if (collapsed.length > maxChars) "…" else "")
   }
 
   /** F9: spans → reference markdown_content (helper_classes.py:116-177).

@@ -63,10 +63,20 @@ object UrlFunctions {
   /** Host of a URL, lowered; empty string when absent. */
   def hostOf(url: String): String = urlsplit(url).netloc.toLowerCase
 
-  // regex literals shared by scala + column forms (scraper.py:59-61)
+  // regex literals shared by scala + column forms (scraper.py:59-61);
+  // the scala forms run once PER IMAGE in the extraction hot loop, so every
+  // pattern is compiled once here — String.replaceAll / fresh .r would
+  // re-compile per call (measured: a visible share of the 190 us/page
+  // extraction cost)
   private val CanonPathSeg = "/\\d{2,4}/\\d{2,4}/"
   private val CanonResSuffix = "-\\d{2,4}x\\d{2,4}(?=\\.\\w+$)"
   private val CanonQueryParam = "(?i)(\\?|&)(w|width|h|height|size)=\\d+"
+  private val CanonPathSegP = java.util.regex.Pattern.compile(CanonPathSeg)
+  private val CanonResSuffixP = java.util.regex.Pattern.compile(CanonResSuffix)
+  private val CanonQueryParamP = java.util.regex.Pattern.compile(CanonQueryParam)
+  private val ResPathRe = "/(\\d{2,4})/(\\d{2,4})/".r
+  private val ResSuffixRe = "-([1-9]\\d{2,4})x([1-9]\\d{2,4})(?=\\.\\w+$)".r
+  private val DescriptorRe = "^(\\d+)(w|x)".r
 
   /** Image-URL canonicalisation, scraper.py:56-62:
     * strip /WxH/ path segments, -WxH suffix before extension, w/h/size
@@ -75,9 +85,9 @@ object UrlFunctions {
     */
   def canonicaliseUrl(url: String): String = {
     val p = urlsplit(url)
-    val path0 = p.path.replaceAll(CanonPathSeg, "/")
-    val path = path0.replaceAll(CanonResSuffix, "")
-    val query = p.query.replaceAll(CanonQueryParam, "")
+    val path0 = CanonPathSegP.matcher(p.path).replaceAll("/")
+    val path = CanonResSuffixP.matcher(path0).replaceAll("")
+    val query = CanonQueryParamP.matcher(p.query).replaceAll("")
     urlunsplit(UrlParts(p.scheme.toLowerCase, p.netloc.toLowerCase,
       path.reverse.dropWhile(_ == '/').reverse, query, ""))
   }
@@ -103,11 +113,11 @@ object UrlFunctions {
 
   /** (w,h) parsed from URL, scraper.py:64-72; (0,0) when absent. */
   def parseResolution(url: String): (Int, Int) = {
-    val m1 = "/(\\d{2,4})/(\\d{2,4})/".r.findFirstMatchIn(url)
+    val m1 = ResPathRe.findFirstMatchIn(url)
     m1 match {
       case Some(m) => (m.group(1).toInt, m.group(2).toInt)
       case None =>
-        val m2 = "-([1-9]\\d{2,4})x([1-9]\\d{2,4})(?=\\.\\w+$)".r.findFirstMatchIn(url)
+        val m2 = ResSuffixRe.findFirstMatchIn(url)
         m2 match {
           case Some(m) => (m.group(1).toInt, m.group(2).toInt)
           case None => (0, 0)
@@ -141,7 +151,7 @@ object UrlFunctions {
 
   /** descriptor score, scraper.py:223-227: leading int of `(\d+)(w|x)` else 1. */
   def descriptorScore(d: String): Int = {
-    val m = "^(\\d+)(w|x)".r.findFirstMatchIn(d)
+    val m = DescriptorRe.findFirstMatchIn(d)
     m.map(_.group(1).toInt).getOrElse(1)
   }
 
