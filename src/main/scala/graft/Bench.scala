@@ -232,13 +232,28 @@ object Bench {
     (bestPair._1, bestPair._2, los.toSeq, his.toSeq, ctls.toSeq, q)
   }
 
+  /** Delete a bench temp store. Each crawl leaves a ~600 MB snapshot store;
+    * a full bench runs 8-10 crawls and a round runs many benches — without
+    * cleanup /tmp fills and the NEXT run dies on ENOSPC (observed).
+    */
+  private def deleteStore(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator.asScala.toList.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+  }
+
   private def crawlBench(cores: Int, nQueries: Int, batch: Int, cfg: WebConfig): CrawlResult = {
     pinCpus(cores)
     val loaders = backgroundLoad(cores) // clock-normalize the unused cpus
+    var storeDir: String = null
     try {
       val spark = session(cores)
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
+      storeDir = dir
       val engine = new CrawlEngine(spark, cfg, dir, batch,
         bloomExpectedKeys = 4L * nQueries * cfg.resultsPerPage * cfg.pages,
         expandTopK = sys.env.getOrElse("BENCH_EXPAND_TOPK", "0").toInt)
@@ -258,6 +273,7 @@ object Bench {
     } finally {
       stopLoad(loaders)
       pinCpus(machineCores) // unpin (full machine) for whatever runs next
+      if (storeDir != null) deleteStore(storeDir)
     }
   }
 
