@@ -246,7 +246,7 @@ object SparkEntry {
     // nprobe<nlist recall is pinned by MlSpec
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 16)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, probeAll = true)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),

@@ -69,7 +69,6 @@ object SpanExtractor {
   // hot-loop statics: this code runs once per page / per image — patterns
   // and sets are compiled/allocated once, never per call
   private val WsRun = java.util.regex.Pattern.compile("\\s+")
-  private val WsSplit = WsRun
   private val KwSibTags = Set("p", "div", "span")
   private val CaptionKeywords = Seq("caption", "image", "photo", "picture", "source")
   private val LiTag = Set("li")
@@ -100,7 +99,7 @@ object SpanExtractor {
     val mainContent: Node = all.find(_.tag == "main")
       .orElse(all.find(_.tag == "article"))
       .orElse(all.find(n => n.tag == "div" && n.attrs.get("class").exists(cls =>
-        WsSplit.split(cls).exists(c => ClassScopeRe.findFirstIn(c).isDefined))))
+        WsRun.split(cls).exists(c => ClassScopeRe.findFirstIn(c).isDefined))))
       .getOrElse(root)
 
     val contentEls = mainContent.findAll(ContentTags)

@@ -137,7 +137,7 @@ object MediaCodec {
   }
 
   // ------------------------------------------------- GRFV frame container
-  final case class VideoDecoded(frames: Int, width: Int, height: Int, pixelSum: Long)
+  final case class VideoDecoded(frames: Int, totalFrames: Int, width: Int, height: Int, pixelSum: Long)
 
   /** Container: "GRFV" + frame count (int32 LE) + concatenated BMP frames. */
   def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
@@ -173,6 +173,6 @@ object MediaCodec {
       off += size
       f += 1
     }
-    VideoDecoded(sampled, w, h, sum)
+    VideoDecoded(sampled, n, w, h, sum)
   }
 }

@@ -90,9 +90,15 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here (once, not per row)
-      it.grouped(batchSize).flatMap(_.map(r => decodeOne(r, frameStep)))
+      it.grouped(batchSize).flatMap(b => decodeBatch(b, frameStep))
     }
   }
+
+  /** One batch through the decoder — the seam a vectorized/native codec
+    * replaces (per-row loop today; the batch boundary is the contract).
+    */
+  private def decodeBatch(rows: Seq[MediaRow], frameStep: Int): Seq[MediaFeatures] =
+    rows.map(decodeOne(_, frameStep))
 
   private def decodeOne(r: MediaRow, frameStep: Int): MediaFeatures = r.kind match {
     case "image" =>
@@ -105,8 +111,10 @@ object Multimodal {
         0, 0, d.nSamples.toLong * 1000 / d.sampleRate, d.sampleSum, 1)
     case _ =>
       val d = MediaCodec.decodeVideo(r.bytes, frameStep)
+      // duration comes from the CONTAINER's total frame count (1 fps), not
+      // from how many frames this pass sampled
       MediaFeatures(r.media_id, r.doc_id, r.kind, r.bytes.length,
-        d.width, d.height, d.frames * 1000L, d.pixelSum, d.frames)
+        d.width, d.height, d.totalFrames * 1000L, d.pixelSum, d.frames)
   }
 
   /** Video frame sampling: one row per sampled frame index — an explode on

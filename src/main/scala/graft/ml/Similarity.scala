@@ -131,14 +131,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              kmeansIters: Int = 2): DataFrame = {
+              kmeansIters: Int = 2, probeAll: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     val codebook = kmeansCodebook(corpus, nlist, kmeansIters, idCol = idCol, vecCol = vecCol)
+    // probeAll = exact-equivalence configuration (every cell probed — output
+    // equals brute force) expressed structurally, not by hardcoding a
+    // number that silently decouples from the nlist default
+    val effProbe = if (probeAll) nlist else nprobe
 
     val cCells = corpus.select(c(idCol).as("neighbor_id"), c(vecCol).as("nvec"),
       rankedCells(c(vecCol), codebook).getItem(0).getField("cell").as("cell"))
     val qCells = queries.select(c(idCol).as("query_id"), c(vecCol).as("qvec"),
-      explode(transform(slice(rankedCells(c(vecCol), codebook), 1, math.min(nprobe, codebook.length)),
+      explode(transform(slice(rankedCells(c(vecCol), codebook), 1, math.min(effProbe, codebook.length)),
         s => s.getField("cell"))).as("cell"))
     val scored = qCells.join(cCells, Seq("cell"))
       .filter(c("query_id") =!= c("neighbor_id"))

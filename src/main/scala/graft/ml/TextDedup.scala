@@ -385,15 +385,20 @@ object TextDedup {
     * minima come from a window min, NEVER a collect_list, so a mega-cluster
     * is a skewed partition (AQE-splittable), not an OOM row.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          reliableCheckpoints: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = pairs.sparkSession
-    // lineage truncation between rounds: when the application has a RELIABLE
-    // checkpoint dir configured (spark.sparkContext.setCheckpointDir — the
-    // 100-TB deployment, where executors are lost routinely and
-    // localCheckpoint blocks would be too), use reliable checkpoints;
-    // otherwise fall back to localCheckpoint (single-app local runs)
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // lineage truncation between rounds: reliableCheckpoints=true (requires
+    // spark.sparkContext.setCheckpointDir) writes each round's edge set to
+    // reliable storage — the executor-loss-safe mode a 100-TB run wants.
+    // EXPLICIT opt-in, not sniffed from the global checkpoint dir (an
+    // unrelated component setting it must not change this function), and
+    // deployments should set spark.cleaner.referenceTracking.cleanCheckpoints
+    // =true so superseded rounds' checkpoint files are reclaimed as their
+    // plans are GC'd (Spark keeps them otherwise). Default: localCheckpoint
+    // (single-app runs).
+    val reliable = reliableCheckpoints && spark.sparkContext.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint(true)
     var edges = pairs.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))

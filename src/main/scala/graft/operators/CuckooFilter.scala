@@ -165,22 +165,23 @@ object CuckooFilter {
   /** True iff the serialized filter's negatives are exact (not saturated). */
   def negativesExactBytes(blob: Array[Byte]): Boolean = blob(0) == 0.toByte
 
-  def sized(expectedKeys: Long, loadFactor: Double = 0.84): CuckooFilter = {
+  /** Bucket count for `expectedKeys` (power-of-two for cheap alt-bucket
+    * xor) — the single sizing rule [[sized]] and [[bytesFor]] both use.
+    */
+  def bucketsFor(expectedKeys: Long, loadFactor: Double = 0.84): Int = {
     val buckets = math.max(8L, (expectedKeys / (SlotsPerBucket * loadFactor)).toLong + 1)
-    // round up to power of two for cheap alt-bucket xor behavior
     var p = 8
     while (p < buckets && p < (1 << 29)) p <<= 1
-    new CuckooFilter(p)
+    p
   }
+
+  def sized(expectedKeys: Long, loadFactor: Double = 0.84): CuckooFilter =
+    new CuckooFilter(bucketsFor(expectedKeys, loadFactor))
 
   /** Serialized byte size of a filter [[sized]] for `expectedKeys` — used to
     * plan the tier's byte budget BEFORE building (a 10⁸-URL host would be an
     * ~800 MB blob; the planner must know that without streaming the host).
     */
-  def bytesFor(expectedKeys: Long, loadFactor: Double = 0.84): Long = {
-    val buckets = math.max(8L, (expectedKeys / (SlotsPerBucket * loadFactor)).toLong + 1)
-    var p = 8L
-    while (p < buckets && p < (1L << 29)) p <<= 1
-    HeaderBytes + p * SlotsPerBucket * 2
-  }
+  def bytesFor(expectedKeys: Long, loadFactor: Double = 0.84): Long =
+    HeaderBytes + bucketsFor(expectedKeys, loadFactor).toLong * SlotsPerBucket * 2
 }

@@ -225,6 +225,10 @@ final class CrawlEngine(
   def runGeneration(round: Int, batch: Seq[String]): Map[String, Long] = {
     ensureBloomTier()
     val webCfg = cfg
+    // intermediates persisted conditionally inside the DAG builders
+    // (e.g. the semi-filter's maybe side) register here for end-of-
+    // generation unpersist
+    val genCaches = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // phase timing (env GRAFT_PHASE_TIMING=1): finds serial driver floors
     val timing = sys.env.get("GRAFT_PHASE_TIMING").contains("1")
@@ -368,7 +372,7 @@ final class CrawlEngine(
           bloomProbed.withColumn("maybe_seen", expr("bloom_might_contain(bits, href)"))
         }).drop("bucket", "bits")
         val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
-        val maybe = probed.filter($"maybe_seen").drop("maybe_seen")
+        val maybe0 = probed.filter($"maybe_seen").drop("maybe_seen")
         // The exact anti-join's seen side would otherwise SHUFFLE the whole
         // table every generation — at 10^10 seen rows that is the last
         // remaining O(|seen|) shuffle in the DAG. Runtime semi-filter: a
@@ -382,15 +386,20 @@ final class CrawlEngine(
         // broadcast budget disables it — correctness never depends on it).
         val maybeBloomBytes = (BlockedBloom.blocksFor(
           math.max(1L, nCandidates), bloomBitsPerKey).toLong * 64 + 64)
-        val seenSide =
+        val (maybe, seenSide) =
           if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
             maybeBloomBytes <= tierBroadcastBytes) {
+            // persist the maybe side: BOTH the bloom aggregation and the
+            // anti-join's left side consume it — without the cache the
+            // dedup window + tier joins would execute twice per generation
+            val m = maybe0.persist(StorageLevel.MEMORY_AND_DISK)
+            genCaches += m
             val nbM = BlockedBloom.blocksFor(math.max(1L, nCandidates), bloomBitsPerKey)
-            val maybeBloom = maybe.agg(expr(s"bloom_agg(href, $nbM, 7)").as("mbits"))
-            seenDf.select($"href").join(broadcast(maybeBloom))
+            val maybeBloom = m.agg(expr(s"bloom_agg(href, $nbM, 7)").as("mbits"))
+            (m, seenDf.select($"href").join(broadcast(maybeBloom))
               .filter(expr("bloom_might_contain(mbits, href)"))
-              .select($"href")
-          } else seenDf.select($"href")
+              .select($"href"))
+          } else (maybe0, seenDf.select($"href"))
         defNew.unionByName(maybe.join(seenSide, Seq("href"), "left_anti"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -665,8 +674,8 @@ final class CrawlEngine(
       .withColumn("generation", lit(round)), round) // commit point
     lap("metrics+barrier")
 
-    Seq[Dataset[_]](newLinks, kept, picks, sched, fetched, seenDelta, cuckooDf)
-      .foreach(_.unpersist())
+    (Seq[Dataset[_]](newLinks, kept, picks, sched, fetched, seenDelta, cuckooDf)
+      ++ genCaches).foreach(_.unpersist())
     counters
   }
 

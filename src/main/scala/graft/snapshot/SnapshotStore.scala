@@ -174,10 +174,15 @@ final class SnapshotTable(val root: Path, val name: String) {
       case Some(c) => c
       case None => return 0
     }
-    // walk the parent chain from current
+    // walk the parent chain from current, stopping at any manifest a prior
+    // vacuum already expired (the chain may be shorter than keepSnapshots)
     val keep = scala.collection.mutable.ListBuffer[SnapshotMeta](cur)
-    while (keep.size < keepSnapshots && keep.last.parentId >= 0)
-      keep += snapshot(keep.last.parentId)
+    var walking = true
+    while (walking && keep.size < keepSnapshots && keep.last.parentId >= 0) {
+      val pid = keep.last.parentId
+      if (Files.exists(snapDir.resolve(s"snapshot-$pid.json"))) keep += snapshot(pid)
+      else walking = false
+    }
     val keepIds = keep.map(_.snapshotId).toSet
     val referenced = keep.flatMap(_.files.map(f => Paths.get(f.path).normalize.toString)).toSet
     // drop expired manifests (everything not on the kept chain)

@@ -26,18 +26,20 @@ object MicroProf {
 
     (0 until 2).foreach { round =>
       if (round == 1) println(s"--- warm ($n pages, bodyElems=$bodyElems) ---")
-      val htmls = time("fetch") {
-        urls.flatMap(u => SyntheticWeb.fetch(cfg, u))
+      // keep (url, html) PAIRED through the flatMap — fetch misses (default
+      // 4%) would otherwise misalign every page after the first miss
+      val pages = time("fetch") {
+        urls.flatMap(u => SyntheticWeb.fetch(cfg, u).map(h => (u, h)))
       }
       val docs = time("parse") {
-        htmls.map(h => graft.functions.HtmlDom.parse(h))
+        pages.map { case (_, h) => graft.functions.HtmlDom.parse(h) }
       }
       time("extract") {
         var spans = 0L
-        urls.zip(htmls).foreach { case (u, h) =>
+        pages.foreach { case (u, h) =>
           spans += graft.functions.SpanExtractor.extract(u, h).spans.size
         }
-        if (round == 1) println(s"  spans=$spans htmlBytes=${htmls.map(_.length.toLong).sum}")
+        if (round == 1) println(s"  pages=${pages.length} spans=$spans htmlBytes=${pages.map(_._2.length.toLong).sum}")
         spans
       }
       docs.length
