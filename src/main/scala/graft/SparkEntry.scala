@@ -266,6 +266,28 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // ---------------- text analysis: Gopher-style hard quality gates ----------------
+    "q_quality_gates" -> ((s, dir) => {
+      val g = TextAnalysis.gopherGates(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("n_stop_types").as("n_stop_types"),
+        g.getField("keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- text analysis: corpus token frequency (stop-grams) ----------------
+    // top-k most frequent tokens corpus-wide: the vocabulary/stop-gram
+    // audit every pretraining pipeline runs; deterministic tie-break
+    "q_token_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+
     // ---------------- text analysis: lang-id + quality (rows-only) ----------------
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -561,6 +583,35 @@ object SparkEntry {
     "q_lang_dist" ->
       """SELECT lang, source, count(*) AS n, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Gopher-style gates: same stopword list (generated from the Scala
+    // map), same double arithmetic (int sums divided in DOUBLE)
+    "q_quality_gates" -> {
+      val allStops = sqlList(TextAnalysis.StopwordsByLang.values.flatten.toSeq.distinct)
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS words
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(words) AS n_words,
+         |    CAST(list_sum([length(x) FOR x IN words]) AS DOUBLE)
+         |      / greatest(len(words), 1) AS mean_word_len,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS symbol_ratio,
+         |    len(list_intersect(list_distinct([lower(x) FOR x IN words]), $allStops)) AS n_stop_types
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_types,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND symbol_ratio <= 0.1 AND n_stop_types >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     // lang-id + quality: same stopword lists (generated from the Scala map),
     // argmax with lexicographically-LAST tie-break = the CASE cascade in

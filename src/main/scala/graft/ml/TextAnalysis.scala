@@ -77,6 +77,33 @@ object TextAnalysis {
     (lenOk + stopOk + punctOk) / lit(3.0d)
   }
 
+  /** Gopher-style hard quality gates (Rae et al. 2021, appendix A —
+    * adapted to the rule subset this corpus' fields can express): word
+    * count band, mean word length band, symbol-to-character ratio cap,
+    * stopword evidence. Emits the metrics AND the keep verdict so a
+    * pipeline can either filter or audit the shed set. All codegen'd
+    * builtins with SQL-replicable arithmetic (integer counts, double
+    * ratios) — DuckDB-oracleable.
+    */
+  def gopherGates(text: Column): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val n = size(toks)
+    val wordChars = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+    val meanWordLen = wordChars.cast("double") / greatest(n, lit(1))
+    val chars = length(text)
+    val symbols = chars - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val symbolRatio = symbols.cast("double") / greatest(chars, lit(1))
+    val allStops = array(StopwordsByLang.values.flatten.toSeq.distinct.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(transform(toks, t => lower(t))), allStops))
+    struct(
+      n.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      nStop.as("n_stop_types"),
+      (n.between(50, 100000) && meanWordLen.between(3.0d, 10.0d) &&
+        (symbolRatio <= 0.1d) && (nStop >= 2)).as("keep"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the whitespace-normalized
     * text (Rabin-Karp style, base 257 mod 2^64) — the classic document
     * fingerprint primitive; stateful loop, hence a UDF.
