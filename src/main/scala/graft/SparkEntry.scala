@@ -288,6 +288,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
 
+    // ---------------- text analysis: within-doc repetition (boilerplate) ----------------
+    "q_repetition" -> ((s, dir) => {
+      val r = TextAnalysis.repetitionMetrics(col("text"), 2)
+      t(s, dir, "documents").select(col("doc_id"),
+        r.getField("n_grams").as("n_grams"),
+        r.getField("n_distinct").as("n_distinct"),
+        r.getField("dup_frac").as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- text analysis: lang-id + quality (rows-only) ----------------
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -612,6 +622,22 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) >= 2
+        |         THEN [words[i + 1] || ' ' || words[i + 2] FOR i IN range(len(words) - 1)]
+        |         ELSE [] END AS grams
+        |  FROM w)
+        |SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // lang-id + quality: same stopword lists (generated from the Scala map),
     // argmax with lexicographically-LAST tie-break = the CASE cascade in

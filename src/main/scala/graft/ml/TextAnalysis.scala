@@ -104,6 +104,26 @@ object TextAnalysis {
         (symbolRatio <= 0.1d) && (nStop >= 2)).as("keep"))
   }
 
+  /** Within-document repetition metrics (the other half of the Gopher rule
+    * set): word-n-gram counts, distinct counts, and the duplicate fraction
+    * — heavily repeated n-grams mark boilerplate/spam. Pure array builtins,
+    * DuckDB-replicable.
+    */
+  def repetitionMetrics(text: Column, n: Int = 2): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val total = size(grams)
+    val distinct = size(array_distinct(grams))
+    struct(
+      total.as("n_grams"),
+      distinct.as("n_distinct"),
+      when(total > 0, lit(1.0d) - distinct.cast("double") / total)
+        .otherwise(lit(0.0d)).as("dup_frac"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the whitespace-normalized
     * text (Rabin-Karp style, base 257 mod 2^64) — the classic document
     * fingerprint primitive; stateful loop, hence a UDF.
