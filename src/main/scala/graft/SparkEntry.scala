@@ -298,6 +298,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- context-window chunking (training-window packing) ----------------
+    "q_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkWindows(col("text"), 100, 50)).as(Seq("chunk_idx", "chunk_text")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---------------- deterministic mixture sampling (domain weighting) ----------------
+    // per-source keep rates applied via modular arithmetic on doc_id — the
+    // quality/domain-weighted sampling step, reproducible with no RNG state
+    "q_domain_mix" -> ((s, dir) => {
+      val rate = lit(100) - substring(col("source"), 4, 10).cast("int") * 4
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 100 < rate)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---------------- text analysis: lang-id + quality (rows-only) ----------------
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -622,6 +641,26 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    CASE WHEN len(words) = 0 THEN 0
+        |         ELSE greatest(CAST(ceil((CAST(greatest(len(words), 1) AS DOUBLE) - 100) / 50) AS INT) + 1, 1)
+        |    END AS nc
+        |  FROM w)
+        |SELECT doc_id, i AS chunk_idx,
+        |       array_to_string(words[i * 50 + 1 : i * 50 + 100], ' ') AS chunk_text
+        |FROM c, UNNEST(range(nc)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+        |WHERE doc_id % 100 < 100 - CAST(substring(source, 4) AS INT) * 4
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_repetition" ->
       """WITH w AS (

@@ -124,6 +124,22 @@ object TextAnalysis {
         .otherwise(lit(0.0d)).as("dup_frac"))
   }
 
+  /** Fixed-size training-window chunking with stride overlap: the
+    * pack-into-context-windows op every pretraining pipeline ends with.
+    * Emits one array entry per chunk of `size` word tokens starting every
+    * `stride` tokens (the final partial window is kept iff non-empty);
+    * callers explode it into (doc_id, chunk_idx, chunk_text) rows. Pure
+    * array builtins — chunking never shuffles, it rides the scan.
+    */
+  def chunkWindows(text: Column, size: Int, stride: Int): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = ceil((greatest(n, lit(1)).cast("double") - size) / stride).cast("int") + 1
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(size)))))
+  }
+
   /** Polynomial rolling-hash fingerprint over the whitespace-normalized
     * text (Rabin-Karp style, base 257 mod 2^64) — the classic document
     * fingerprint primitive; stateful loop, hence a UDF.
