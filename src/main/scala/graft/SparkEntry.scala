@@ -317,6 +317,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---------------- PII redaction (corpus-release scrub) ----------------
+    // fixture plants deterministic emails/phones in every 10th doc (same
+    // construction in the oracle); the scrub must count and redact exactly
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555-010-1234 now")))
+          .otherwise(col("text")).as("text"))
+      val c = TextAnalysis.piiCounts(col("text"))
+      d.select(col("doc_id"),
+        c.getField("n_emails").as("n_emails"),
+        c.getField("n_phones").as("n_phones"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- decontamination (eval-overlap flagging) ----------------
+    // contamination list = the first word-3-gram of every 50th doc (derived
+    // from the corpus on both sides); flag every doc whose 3-gram set
+    // contains ANY listed gram — the benchmark-overlap check run before
+    // training. Inverted-index semi-join, no cross product.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val contam = docs.filter(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ", slice(filter(split(col("text"), " "), t0 => t0 =!= ""), 1, 3)).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+      TextDedup.shingleTokens(docs, 3)
+        .join(contam, Seq("tok"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- text analysis: lang-id + quality (rows-only) ----------------
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -661,6 +694,38 @@ object SparkEntry {
       """SELECT source, count(*) AS n_kept FROM documents
         |WHERE doc_id % 100 < 100 - CAST(substring(source, 4) AS INT) * 4
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_pii_redact" -> {
+      // DuckDB standard strings do no backslash processing — embed the
+      // regexes verbatim (single backslashes), same literal both engines
+      val email = TextAnalysis.EmailRe
+      val phone = TextAnalysis.PhoneRe
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |         THEN text || ' contact user' || doc_id || '@example.com or call 555-010-1234 now'
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "q_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |contam AS (
+        |  SELECT DISTINCT array_to_string(w[1:3], ' ') AS tok
+        |  FROM words WHERE id % 50 = 0 AND len(array_to_string(w[1:3], ' ')) > 0),
+        |sh AS (SELECT DISTINCT id, array_to_string(w[i + 1:i + 3], ' ') AS tok
+        |       FROM words, UNNEST(range(len(w) - 2)) AS t(i)
+        |       WHERE len(w) >= 3)
+        |SELECT DISTINCT id AS doc_id FROM sh
+        |WHERE tok IN (SELECT tok FROM contam)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH w AS (

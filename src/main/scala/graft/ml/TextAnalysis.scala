@@ -140,6 +140,21 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i * stride + 1, lit(size)))))
   }
 
+  /** PII patterns (RE2-compatible — no lookaround — so the DuckDB oracle
+    * replays them verbatim): the email/phone scrub every released corpus
+    * runs. Counts + redacted text, all codegen'd regexp builtins.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"))
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Polynomial rolling-hash fingerprint over the whitespace-normalized
     * text (Rabin-Karp style, base 257 mod 2^64) — the classic document
     * fingerprint primitive; stateful loop, hence a UDF.
