@@ -46,6 +46,18 @@ object FetchStream {
       .agg(count(lit(1)).as("n_fetches"))
       .select(col("window.start").as("window_start"), col("host"), col("n_fetches"))
 
+  /** Streaming URL dedup: event-time watermark + dropDuplicates on url —
+    * the stateful streaming form of the batch engine's first-seen-wins
+    * rule. State is bounded by the watermark horizon (urls older than the
+    * watermark are expired from the state store), which is what makes the
+    * operator viable on an unbounded crawl stream.
+    */
+  def streamingSeenDedup(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("url")
+      .select(col("url"), col("host"), col("event_time"))
+
   /** Stateful per-host audit: keeps the latest scheduled time per host,
     * emits a Violation for any pair of consecutive events closer than the
     * host's min delay. State is one long per host — bounded by host count,

@@ -46,6 +46,24 @@ class FetchStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming url dedup keeps exactly the distinct url set (watermark-bounded state)") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    // plant duplicates: every event re-emitted once
+    val dup = events ++ events.map(e => e.copy(scheduled_ms = e.scheduled_ms + 5))
+    dup.toDS().toDF().coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = FetchStream.fetchEventStream(spark, dir)
+    val deduped = FetchStream.streamingSeenDedup(stream)
+    val qname = s"seen_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val urls = spark.table(qname).select($"url").as[String].collect().toSeq
+    assert(urls.size == urls.distinct.size, "no url may survive twice")
+    assert(urls.toSet == events.map(_.url).toSet)
+  }
+
   test("stateful politeness audit flags exactly the planted violations") {
     val ds = events.toDS()
     val violations = FetchStream.politenessAudit(ds).collect().toSeq
