@@ -191,7 +191,9 @@ object Bench {
       waitForCalm(30000)
       System.gc() // drop the previous phase's heap debt before timing
       val l = crawlBench(lo, q, batchOf(q), cfgOf(q))
-      if (!resized && loTargetSec > 0 && l.wallSec < 0.7 * loTargetSec) {
+      // FIRST attempt only: a later attempt's fast lo is a weather window,
+      // not a calibration error — resizing on it would discard valid pairs
+      if (attempt == 1 && !resized && loTargetSec > 0 && l.wallSec < 0.7 * loTargetSec) {
         // grow only (a slow-window run is ordinary noise, handled by best-of)
         val nq = math.max(3000, math.min(20000,
           ((loTargetSec / (l.wallSec / q)) / 500.0).round.toInt * 500))

@@ -56,14 +56,14 @@ object Similarity {
     * (codegen'd, no UDF).
     */
   private def distTo(vec: Column, centroid: Array[Float]): Column = {
-    val lits = array(centroid.map(v => lit(v.toDouble)): _*)
+    val lits = array(centroid.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     aggregate(zip_with(vec, lits, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
       lit(0.0d), (acc, x) => acc + x)
   }
 
   /** cells ranked by distance: array of struct(dist, cell) sorted asc. */
   private def rankedCells(vec: Column, codebook: Array[Array[Float]]): Column =
-    array_sort(array(codebook.zipWithIndex.map { case (cen, i) =>
+    array_sort(array(codebook.toIndexedSeq.zipWithIndex.map { case (cen, i) =>
       struct(distTo(vec, cen).as("dist"), lit(i).as("cell"))
     }: _*))
 
