@@ -169,12 +169,23 @@ object Bench {
     * dominated and fakes poor scaling. `cfgOf`/`batchOf` derive workload
     * parameters from a query count so the resize keeps the saturation
     * regime constant.
+    *
+    * WINDOW PRE-GATE (the r3 protocol defect): the quick mem-control burn
+    * runs BEFORE each attempt, and a degraded window (control < `calmGate`)
+    * is skipped for the ~8 s cost of the burn instead of being measured for
+    * ~180 s — the budget is spent on windows where the HARDWARE can express
+    * scaling at all. Skipping is bounded: once the remaining budget fits
+    * only one more pair, the next window is taken regardless (a recorded
+    * degraded pair beats no pair), and every measured attempt's pre-gate
+    * control is recorded next to its pair either way.
     */
   private def crawlBenchInterleaved(lo: Int, hi: Int, nQueries: Int,
                                     batchOf: Int => Int, cfgOf: Int => WebConfig,
                                     maxAttempts: Int, targetEff: Double,
-                                    budgetSec: Long, loTargetSec: Double)
+                                    budgetSec: Long, loTargetSec: Double,
+                                    criterionEff: Double, calmGate: Double)
   : (CrawlResult, CrawlResult, Seq[CrawlResult], Seq[CrawlResult], Seq[Double], Int) = {
+    require(maxAttempts >= 1, s"BENCH_ATTEMPTS must be >= 1 (got $maxAttempts)")
     val t0 = System.nanoTime()
     def elapsedSec = (System.nanoTime() - t0) / 1e9
     val los = scala.collection.mutable.ArrayBuffer.empty[CrawlResult]
@@ -185,52 +196,66 @@ object Bench {
     var bestPair: (CrawlResult, CrawlResult) = null
     var bestPairEff = 0.0
     var attempt = 0
+    var skipped = 0
     var done = false
-    while (!done && attempt < maxAttempts) {
-      attempt += 1
+    // pair-cost estimate for the budget math before any pair has run:
+    // lo wall ≈ the calibration target, hi wall ≈ lo × (lo/hi) / 0.8
+    def pairCostSec: Double =
+      if (bestPair != null) (bestPair._1.wallSec + bestPair._2.wallSec) * 1.2
+      else math.max(loTargetSec, 135.0) * (1.0 + (lo.toDouble / hi) / 0.8) * 1.2
+    while (!done && attempt < maxAttempts && elapsedSec < budgetSec) {
       waitForCalm(30000)
-      System.gc() // drop the previous phase's heap debt before timing
-      val l = crawlBench(lo, q, batchOf(q), cfgOf(q))
-      // FIRST attempt only: a later attempt's fast lo is a weather window,
-      // not a calibration error — resizing on it would discard valid pairs
-      if (attempt == 1 && !resized && loTargetSec > 0 && l.wallSec < 0.7 * loTargetSec) {
-        // grow only (a slow-window run is ordinary noise, handled by best-of)
-        val nq = math.max(3000, math.min(20000,
-          ((loTargetSec / (l.wallSec / q)) / 500.0).round.toInt * 500))
-        resized = true
-        if (nq > q) {
-          System.err.println(f"[bench] recalibrate: lo wall ${l.wallSec}%.1fs < 0.7x " +
-            f"target $loTargetSec%.0fs -> workload $nq queries (was $q); restarting attempts")
-          q = nq
-          attempt = 0
-          los.clear(); his.clear(); ctls.clear(); bestPair = null; bestPairEff = 0.0
+      // pre-gate: what the MACHINE gives THIS window (~8 s)
+      val wCtl = memControlEff(lo, hi, passes = 30)
+      if (wCtl < calmGate && skipped < 20 && elapsedSec + 20 + pairCostSec < budgetSec) {
+        skipped += 1
+        System.err.println(f"[bench] skip degraded window: mem-ctl $wCtl%.3f < gate $calmGate%.2f " +
+          f"(skipped=$skipped elapsed=${elapsedSec}%.0fs)")
+        Thread.sleep(8000)
+      } else {
+        attempt += 1
+        System.gc() // drop the previous phase's heap debt before timing
+        val l = crawlBench(lo, q, batchOf(q), cfgOf(q))
+        // FIRST attempt only: a later attempt's fast lo is a weather window,
+        // not a calibration error — resizing on it would discard valid pairs
+        if (attempt == 1 && !resized && loTargetSec > 0 && l.wallSec < 0.7 * loTargetSec) {
+          // grow only (a slow-window run is ordinary noise, handled by best-of)
+          val nq = math.max(3000, math.min(20000,
+            ((loTargetSec / (l.wallSec / q)) / 500.0).round.toInt * 500))
+          resized = true
+          if (nq > q) {
+            System.err.println(f"[bench] recalibrate: lo wall ${l.wallSec}%.1fs < 0.7x " +
+              f"target $loTargetSec%.0fs -> workload $nq queries (was $q); restarting attempts")
+            q = nq
+            attempt = 0
+            los.clear(); his.clear(); ctls.clear(); bestPair = null; bestPairEff = 0.0
+          }
         }
-      }
-      if (attempt > 0) { // not reset by a resize
-        los += l
-        waitForCalm(15000)
-        System.gc()
-        val h = crawlBench(hi, q, batchOf(q), cfgOf(q))
-        his += h
-        // quick per-attempt memory control (~4s): what the MACHINE gave in
-        // THIS window, so every pair-eff is readable against its own
-        // hardware ceiling (intra-attempt drift becomes visible, not
-        // arguable)
-        val wCtl = memControlEff(lo, hi, passes = 30)
-        ctls += wCtl
-        val pairEff = (h.urlsPerSec / l.urlsPerSec) / (hi.toDouble / lo)
-        if (bestPair == null || pairEff > bestPairEff) {
-          bestPair = (l, h); bestPairEff = pairEff
+        if (attempt > 0) { // not reset by a resize
+          los += l
+          waitForCalm(15000)
+          System.gc()
+          val h = crawlBench(hi, q, batchOf(q), cfgOf(q))
+          his += h
+          ctls += wCtl // the PRE-measured control of this pair's window
+          val pairEff = (h.urlsPerSec / l.urlsPerSec) / (hi.toDouble / lo)
+          if (bestPair == null || pairEff > bestPairEff) {
+            bestPair = (l, h); bestPairEff = pairEff
+          }
+          System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs pair-eff=$pairEff%.3f (mem-ctl $wCtl%.3f) best=$bestPairEff%.3f elapsed=${elapsedSec}%.0fs")
+          // stop early once the efficiency criterion is comfortably met — but
+          // only after ≥2 attempts, so one lucky window can't decide alone —
+          // or when another attempt would blow the round budget. The ≥3-
+          // attempt threshold is the recorded criterion (BENCH_CRITERION_EFF),
+          // never a second hardcoded constant.
+          done = (attempt >= 2 && bestPairEff >= targetEff) ||
+            (attempt >= 3 && bestPairEff >= criterionEff) ||
+            elapsedSec + pairCostSec > budgetSec
         }
-        System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs pair-eff=$pairEff%.3f (mem-ctl $wCtl%.3f) best=$bestPairEff%.3f elapsed=${elapsedSec}%.0fs")
-        // stop early once the efficiency criterion is comfortably met — but
-        // only after ≥2 attempts, so one lucky window can't decide alone —
-        // or when another attempt would blow the round budget
-        done = (attempt >= 2 && bestPairEff >= targetEff) ||
-          (attempt >= 3 && bestPairEff >= 0.80) || // criterion met, 3 samples
-          elapsedSec + (bestPair._1.wallSec + bestPair._2.wallSec) * 1.2 > budgetSec
       }
     }
+    require(bestPair != null,
+      s"no attempt completed within BENCH_BUDGET_SEC=$budgetSec (skipped=$skipped degraded windows)")
     (bestPair._1, bestPair._2, los.toSeq, his.toSeq, ctls.toSeq, q)
   }
 
@@ -242,8 +267,9 @@ object Bench {
     import java.nio.file.{Files, Paths}
     try {
       import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(dir)).iterator.asScala.toList.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      val walk = Files.walk(Paths.get(dir)) // closed: an unclosed walk leaks an fd per crawl
+      val entries = try walk.iterator.asScala.toList.reverse finally walk.close()
+      entries.foreach(p => Files.deleteIfExists(p))
     } catch { case _: Exception => () }
   }
 
@@ -452,14 +478,22 @@ object Bench {
     // noise). Adaptive interleaved best-of-N: calm-gated attempts repeat
     // until best-of efficiency reaches BENCH_TARGET_EFF or the time budget
     // runs out; every attempt's wall+throughput is emitted in the JSON.
-    val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "4").toInt
+    // Attempts raised 4→6 and budget 800→900 s (r3 verdict): with the
+    // window pre-gate, a degraded window costs ~8 s instead of ~180 s, so
+    // the same budget fits several calm-window pairs instead of burning on
+    // weather. BENCH_CALM_GATE is the mem-control floor a window must show
+    // BEFORE its pair is measured (the engine's own ceiling IS that
+    // control; measuring below it records the host, not the engine).
+    val maxAttempts = sys.env.getOrElse("BENCH_ATTEMPTS", "6").toInt
     val targetEff = sys.env.getOrElse("BENCH_TARGET_EFF", "0.84").toDouble
-    val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "800").toLong
+    val criterionEff = sys.env.getOrElse("BENCH_CRITERION_EFF", "0.80").toDouble
+    val calmGate = sys.env.getOrElse("BENCH_CALM_GATE", "0.85").toDouble
+    val budgetSec = sys.env.getOrElse("BENCH_BUDGET_SEC", "900").toLong
     // undershoot guard armed only when the workload was auto-calibrated
     val guardTarget = if (sys.env.contains("BENCH_QUERIES")) 0.0 else loTargetSec
     val (loRes, hiRes, loAll, hiAll, attemptCtls, finalQ) =
       crawlBenchInterleaved(lo, hiCrawl, nQueries, batchOf, sizedCfg,
-        maxAttempts, targetEff, budgetSec, guardTarget)
+        maxAttempts, targetEff, budgetSec, guardTarget, criterionEff, calmGate)
     val benchCfg = sizedCfg(finalQ)
     val attempts = loAll.size
     val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (hiCrawl.toDouble / lo)
@@ -472,10 +506,18 @@ object Bench {
     val memControl = memControlEff(lo, hiCrawl)
     // headline throughput at FULL width (SPARK_GRAFT_CPUS, unpinned-wide):
     // the scaling pair runs narrow on purpose (see pair policy), but the
-    // absolute urls/s progression across rounds is tracked at full width
-    waitForCalm(15000)
-    val full = crawlBench(cpus, finalQ, batchOf(finalQ), sizedCfg(finalQ))
-    System.err.println(f"[bench] full-width($cpus): wall=${full.wallSec}%.1fs urls/s=${full.urlsPerSec}%.1f")
+    // absolute urls/s progression across rounds is tracked at full width.
+    // Calm-gated best-of-N (default 2): the r3 recorded full-width number
+    // was one run in a degraded window (15.7k vs quiet-window probes of
+    // 17.7-22.6k) — a single uncontrolled sample records weather.
+    val fullAttempts = math.max(1, sys.env.getOrElse("BENCH_FULL_ATTEMPTS", "2").toInt)
+    var full: CrawlResult = null
+    for (a <- 1 to fullAttempts) {
+      waitForCalm(20000)
+      val r = crawlBench(cpus, finalQ, batchOf(finalQ), sizedCfg(finalQ))
+      System.err.println(f"[bench] full-width($cpus) attempt $a: wall=${r.wallSec}%.1fs urls/s=${r.urlsPerSec}%.1f")
+      if (full == null || r.urlsPerSec > full.urlsPerSec) full = r
+    }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = results.map(_._2).sum

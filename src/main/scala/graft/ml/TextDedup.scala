@@ -397,8 +397,13 @@ object TextDedup {
     // deployments should set spark.cleaner.referenceTracking.cleanCheckpoints
     // =true so superseded rounds' checkpoint files are reclaimed as their
     // plans are GC'd (Spark keeps them otherwise). Default: localCheckpoint
-    // (single-app runs).
-    val reliable = reliableCheckpoints && spark.sparkContext.getCheckpointDir.isDefined
+    // (single-app runs). A caller opting into executor-loss safety without a
+    // checkpoint dir must FAIL, not silently degrade to localCheckpoint.
+    if (reliableCheckpoints) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "connectedComponents(reliableCheckpoints = true) requires " +
+        "spark.sparkContext.setCheckpointDir — refusing to silently degrade " +
+        "to executor-local checkpoints")
+    val reliable = reliableCheckpoints
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint(true)
     var edges = pairs.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))

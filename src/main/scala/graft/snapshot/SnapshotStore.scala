@@ -54,13 +54,22 @@ final class SnapshotTable(val root: Path, val name: String) {
 
   def isEmpty: Boolean = currentSnapshot.forall(_.files.isEmpty)
 
+  /** List a directory through a CLOSED stream: Files.list/Files.walk hold an
+    * open fd until close() — a long-lived driver running maintain() over 13
+    * tables each generation would otherwise exhaust fds.
+    */
+  private def listDir(dir: Path): List[Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toList finally s.close()
+  }
+
   /** All snapshots, oldest first (time-travel index). */
   def history: Seq[SnapshotMeta] = {
     if (!Files.exists(snapDir)) return Seq.empty
-    Files.list(snapDir).iterator.asScala
+    listDir(snapDir)
       .filter(_.getFileName.toString.startsWith("snapshot-"))
       .map(p => Serialization.read[SnapshotMeta](Files.readString(p)))
-      .toSeq.sortBy(_.snapshotId)
+      .sortBy(_.snapshotId)
   }
 
   /** Read table state at a snapshot (default: current). Returns None when
@@ -192,11 +201,13 @@ final class SnapshotTable(val root: Path, val name: String) {
     val dataRoot = tableDir.resolve("data")
     if (!Files.exists(dataRoot)) return 0
     var deleted = 0
-    Files.walk(dataRoot).iterator.asScala.toList.reverse.foreach { p =>
+    val walk = Files.walk(dataRoot)
+    val entries = try walk.iterator.asScala.toList.reverse finally walk.close()
+    entries.foreach { p =>
       if (Files.isRegularFile(p) && !referenced(p.normalize.toString)) {
         Files.deleteIfExists(p); deleted += 1
       } else if (Files.isDirectory(p) && p != dataRoot) {
-        try { if (!Files.list(p).iterator.hasNext) Files.deleteIfExists(p) }
+        try { if (listDir(p).isEmpty) Files.deleteIfExists(p) }
         catch { case _: Exception => () }
       }
     }
@@ -204,8 +215,7 @@ final class SnapshotTable(val root: Path, val name: String) {
   }
 
   private def listParquet(dir: Path): List[Path] =
-    Files.list(dir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+    listDir(dir).filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
 
   /** Row count from the parquet footer (no data read). */
   private def parquetRows(p: Path): Long = {

@@ -46,16 +46,22 @@ object FetchStream {
       .agg(count(lit(1)).as("n_fetches"))
       .select(col("window.start").as("window_start"), col("host"), col("n_fetches"))
 
-  /** Streaming URL dedup: event-time watermark + dropDuplicates on url —
-    * the stateful streaming form of the batch engine's first-seen-wins
-    * rule. State is bounded by the watermark horizon (urls older than the
-    * watermark are expired from the state store), which is what makes the
-    * operator viable on an unbounded crawl stream.
+  /** Streaming URL dedup: event-time watermark +
+    * dropDuplicatesWithinWatermark on url — the stateful streaming form of
+    * the batch engine's first-seen-wins rule. The WithinWatermark variant is
+    * what actually bounds state on an unbounded stream: plain
+    * dropDuplicates("url") without the event-time column in the key NEVER
+    * evicts (state grows with every distinct url forever); here each url's
+    * state row is dropped once the watermark passes its event time, so the
+    * store holds only the watermark horizon's urls. Semantics: a url
+    * recurring AFTER the horizon re-emits — that duplicate is the exact
+    * anti-join tier's job in the batch engine; the stream operator is the
+    * bounded-memory first line.
     */
   def streamingSeenDedup(events: DataFrame, watermark: String = "2 minutes"): DataFrame =
     events
       .withWatermark("event_time", watermark)
-      .dropDuplicates("url")
+      .dropDuplicatesWithinWatermark("url")
       .select(col("url"), col("host"), col("event_time"))
 
   /** Stateful per-host audit: keeps the latest scheduled time per host,
