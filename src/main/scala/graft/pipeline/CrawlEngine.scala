@@ -136,6 +136,27 @@ final class CrawlEngine(
   private def bucketCol(href: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(href), lit(bloomBuckets)).cast("int")
 
+  /** Size-gate for the host-keyed dimension broadcasts (hostProfilesDf /
+    * host_state) — the same byte-budget discipline the bloom/cuckoo tiers
+    * use. At the design scale (10¹⁰ URLs over Zipf hosts → 10⁷-10⁸ hosts)
+    * an unconditional broadcast ships a multi-GB table to every executor
+    * every generation; over budget the hint is dropped and Catalyst joins
+    * on the host key (downstream stages are host-partitioned anyway, so
+    * the exchange is reused). Estimates are conservative per-row costs —
+    * routing the plan, not deciding results.
+    */
+  private def gatedBroadcast(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= tierBroadcastBytes) broadcast(df) else df
+
+  /** host string + delay long + a few disallow prefixes + row overhead. */
+  private def hostProfileEstBytes: Long = cfg.nHosts.toLong * 128
+
+  /** host string + two longs + overhead; rows from the snapshot counter
+    * (manifest read, never a scan).
+    */
+  private def hostStateEstBytes: Long =
+    hostStateT.currentSnapshot.map(_.rowCount).getOrElse(0L) * 64
+
   private def emptyBloomDf: DataFrame =
     Seq.empty[(Int, Array[Byte])].toDF("bucket", "bits")
 
@@ -172,6 +193,45 @@ final class CrawlEngine(
       bloomT.replace(df, lastCommittedGeneration,
         Map("capacity" -> capacity, "num_blocks" -> nb.toLong))
     }
+  }
+
+  /** Tier-routed "not in seen" over a `url` column (the r3 expansion-path
+    * fix): probe the partitioned bloom tier — the tier is a superset filter
+    * of seen (built from it, delta-merged every commit, rolled back in step)
+    * so clear bits or a missing bucket is a DEFINITIVE no and those rows
+    * skip the exact join entirely; only the maybe rows anti-join seen, with
+    * the seen side pre-reduced by a runtime semi-filter bloom aggregated
+    * over them (the same trade as the candidate-dedup path). `expectedRows`
+    * sizes that bloom: undersizing only raises its FP rate (extra shuffled
+    * rows, never a dropped or phantom url) — membership is always decided
+    * by the exact anti-join. Cost: O(|df|) narrow probe + O(|maybe|)-driven
+    * shuffles; the per-generation O(|seen|) exchange never happens.
+    */
+  private def antiJoinSeen(df: DataFrame, seenDf: DataFrame, expectedRows: Long,
+                           caches: scala.collection.mutable.ArrayBuffer[Dataset[_]]): DataFrame = {
+    val bloomDf0 = bloomT.read(spark).getOrElse(emptyBloomDf)
+    val bloomBytes = (bloomBlocks.toLong * 64 + 1) * bloomBuckets
+    val bloomDf = if (bloomBytes <= tierBroadcastBytes) broadcast(bloomDf0) else bloomDf0
+    val probed = df
+      .withColumn("bucket", bucketCol($"url"))
+      .join(bloomDf, Seq("bucket"), "left")
+      .withColumn("maybe_seen", expr("bloom_might_contain(bits, url)"))
+      .drop("bucket", "bits")
+    val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
+    val maybe0 = probed.filter($"maybe_seen").drop("maybe_seen")
+    val nbM = BlockedBloom.blocksFor(math.max(1L, expectedRows), bloomBitsPerKey)
+    val maybeBloomBytes = nbM.toLong * 64 + 64
+    val (maybe, seenSide) =
+      if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
+        maybeBloomBytes <= tierBroadcastBytes) {
+        val m = maybe0.persist(StorageLevel.MEMORY_AND_DISK)
+        caches += m
+        val mBloom = m.agg(expr(s"bloom_agg(url, $nbM, 7)").as("mbits"))
+        (m, seenDf.select($"href".as("url")).join(broadcast(mBloom))
+          .filter(expr("bloom_might_contain(mbits, url)"))
+          .select($"url"))
+      } else (maybe0, seenDf.select($"href".as("url")))
+    defNew.unionByName(maybe.join(seenSide, Seq("url"), "left_anti"))
   }
 
   def lastCommittedGeneration: Int =
@@ -425,14 +485,23 @@ final class CrawlEngine(
       emptyFrontier.select($"url".as("href"), $"host", $"score")
         .persist(StorageLevel.MEMORY_AND_DISK)
     } else {
-      val seenAll = (seenT.read(spark) match {
-        case Some(s) => s.select($"href")
-        case None => Seq.empty[String].toDF("href")
-      }).unionByName(newLinks.select($"href"))
+      // not-seen = tier-routed probe + semi-filtered exact anti-join (never
+      // an O(|seen|) shuffle); this generation's own delta (newLinks — not
+      // in the tier yet) is a second, delta-sized anti-join. The frontier
+      // table is a delta log: rows whose url has entered seen are dead and
+      // fall out right here (seen-membership is the tombstone; maintain()
+      // folds them out physically).
+      val notSeen: DataFrame = seenT.read(spark) match {
+        case None => oldFrontier
+        case Some(seenDf) =>
+          val frontierRows = frontierT.currentSnapshot.map(_.rowCount).getOrElse(1L)
+          antiJoinSeen(oldFrontier, seenDf, frontierRows, genCaches)
+      }
       val wFrontier = Window.partitionBy($"host").orderBy($"score".desc, $"url")
-      oldFrontier
-        .join(seenAll.withColumnRenamed("href", "url"), Seq("url"), "left_anti")
-        .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow")), Seq("host"), "left")
+      notSeen
+        .join(newLinks.select($"href".as("url")), Seq("url"), "left_anti")
+        .join(gatedBroadcast(hostProfilesDf.select($"host", $"robots_disallow"),
+          hostProfileEstBytes), Seq("host"), "left")
         .filter(robotsAllowedCol($"url")).drop("robots_disallow")
         .withColumn("rn", row_number().over(wFrontier)).filter($"rn" <= expandTopK)
         .select($"url".as("href"), $"host", $"score")
@@ -446,8 +515,8 @@ final class CrawlEngine(
     // robots + min-delay both come from ONE broadcast host-profile join
     // (the min_delay column rides along instead of a second broadcast join)
     val allowed = htmlLinks
-      .join(broadcast(hostProfilesDf.select($"host", $"robots_disallow", $"min_delay_ms")),
-        Seq("host"), "left")
+      .join(gatedBroadcast(hostProfilesDf.select($"host", $"robots_disallow", $"min_delay_ms"),
+        hostProfileEstBytes), Seq("host"), "left")
       .filter(robotsAllowedCol($"href")).drop("robots_disallow")
     // host_state carries (host, next_free_ms, n_scheduled); the politeness
     // join only needs the clock column (n_scheduled feeds hot-host top-k)
@@ -461,14 +530,15 @@ final class CrawlEngine(
       $"kind", $"query_rank", $"page", $"result_rank", lit(0.0d).as("neg_score"),
       $"min_delay_ms")
     val phaseB = picks
-      .join(broadcast(hostProfilesDf.select($"host", $"min_delay_ms")), Seq("host"), "left")
+      .join(gatedBroadcast(hostProfilesDf.select($"host", $"min_delay_ms"),
+        hostProfileEstBytes), Seq("host"), "left")
       .select($"href", $"host", lit(1).as("phase"),
         lit(0).as("kind"), lit(0).as("query_rank"), lit(0).as("page"),
         lit(0).as("result_rank"), (-$"score").as("neg_score"), $"min_delay_ms")
     val wHost = Window.partitionBy($"host").orderBy(
       $"phase", $"kind", $"query_rank", $"page", $"result_rank", $"neg_score", $"href")
     val sched = phaseA.unionByName(phaseB)
-      .join(broadcast(hostState), Seq("host"), "left")
+      .join(gatedBroadcast(hostState, hostStateEstBytes), Seq("host"), "left")
       .na.fill(0L, Seq("next_free_ms"))
       .withColumn("slot", row_number().over(wHost) - lit(1))
       .withColumn("scheduled_ms", $"next_free_ms" + $"slot" * $"min_delay_ms")
@@ -653,20 +723,25 @@ final class CrawlEngine(
       "robots_blocked" -> (nKept - pdfT.deltaRows(pdfMeta) + nExpanded - nScheduled),
       "docs" -> nDocs)
 
-    // ---- frontier maintenance: (old - picked) + new discoveries ---------
+    // ---- frontier maintenance: DELTA append (discoveries only) ----------
+    // Picked rows are NOT rewritten out per generation: a pick entered seen
+    // in this very generation's commit, and both the pick path and the
+    // discovery dedup below exclude seen members — seen-membership IS the
+    // tombstone. maintain() folds dead rows out physically (the amortized
+    // place for an O(|frontier|) rewrite); per-generation frontier IO is
+    // O(|discoveries|), never O(|frontier|). The discovery not-seen check
+    // rides the POST-commit bloom tier (this generation's delta is already
+    // merged), so it too shuffles O(|maybe|), not O(|seen|).
     if (expandTopK > 0) {
-      val seenNow = seenT.read(spark).get.select($"href".as("url"))
-      val discoveries = fetched.select(explode($"out_links").as("url")).distinct()
-        .join(seenNow, Seq("url"), "left_anti")
+      val seenNowDf = seenT.read(spark).get
+      val rawDisc = fetched.select(explode($"out_links").as("url")).distinct()
+      val discoveries = antiJoinSeen(rawDisc, seenNowDf, nCandidates, genCaches)
         .join(oldFrontier.select($"url"), Seq("url"), "left_anti")
         .withColumn("host", regexp_extract(lower($"url"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
         .withColumn("score", expr(s"link_score(url, ${webCfg.seed}L)")) // codegen'd, no ScalaUDF
         .withColumn("discovered_gen", lit(round))
         .select($"url", $"host", $"score", $"discovered_gen")
-      val newFrontier = oldFrontier
-        .join(picks.select($"href".as("url")), Seq("url"), "left_anti")
-        .unionByName(discoveries)
-      frontierT.replace(newFrontier, round)
+      frontierT.append(discoveries, round)
     }
     lap("frontier")
     metricsT.append(counters.toSeq.toDF("key", "value").withColumn("generation", lit(round)), round)
@@ -688,6 +763,7 @@ final class CrawlEngine(
     * depth [[rollbackPartial]] needs (one uncommitted generation).
     */
   def maintain(targetFileBytes: Long = 128L << 20, keepSnapshots: Int = 2): Map[String, Int] = {
+    foldFrontier()
     val tables = Seq(seenT, linksT, docsT, imagesT, pdfT, processedT,
       hostStateT, metricsT, eventsT, frontierT, partitionMetricsT, bloomT, cuckooT)
     tables.map { t =>
@@ -695,6 +771,18 @@ final class CrawlEngine(
       t.name -> t.vacuum(keepSnapshots)
     }.toMap
   }
+
+  /** Fold the frontier delta log: physically drop rows whose url entered
+    * seen (picked, or crawled via another path) — the per-generation
+    * commits deliberately leave them (seen-membership is the tombstone;
+    * rewriting the whole frontier per generation was the r3 scale flag).
+    * One O(|frontier|) rewrite per maintenance window, not per generation.
+    */
+  private def foldFrontier(): Unit =
+    for (f <- frontierT.read(spark); s <- seenT.read(spark)) {
+      val live = f.join(s.select($"href".as("url")), Seq("url"), "left_anti")
+      frontierT.replace(live, lastCommittedGeneration)
+    }
 
   // ------------------------------------------------------- verification IO
   def seenSet(): Set[String] =

@@ -112,6 +112,33 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(eng.crawlOrder() == oracle.crawlOrder)
   }
 
+  test("over-budget host tables + expansion: gated broadcasts fall back to plain joins, parity holds") {
+    // tierBroadcastBytes=1 forces EVERY gated broadcast off — bloom tier,
+    // host profiles, host_state, and the expansion path's semi-filter —
+    // onto plain key joins; results must be oracle-identical (gates route
+    // the plan, never decide membership)
+    val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, tempDir("hostgate"),
+      batchSize, tierBroadcastBytes = 1L, expandTopK = 3)
+    eng.run(seeds)
+    assert(eng.seenSet() == oracleExp.seen)
+    assert(eng.crawlOrder() == oracleExp.crawlOrder)
+  }
+
+  test("forced semi-filter + expansion: frontier/discovery anti-joins stay oracle-equal") {
+    // seenSemiFilterRows=1 forces the maybe-bloom reduction inside
+    // antiJoinSeen for BOTH the pick path and the discovery path from the
+    // first generation with a seen table
+    val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, tempDir("semiexp"),
+      batchSize, seenSemiFilterRows = 1L, expandTopK = 3)
+    eng.run(seeds)
+    assert(eng.seenSet() == oracleExp.seen)
+    assert(eng.crawlOrder() == oracleExp.crawlOrder)
+    assert(eng.docs().map(d => d.doc_id -> d.spans).toMap ==
+      oracleExp.docs.map(d => d.doc_id -> d.spans).toMap)
+  }
+
   test("maintain (compact + vacuum) between runs: state identical, resume still a no-op") {
     val dir = tempDir("maintain")
     val eng = newEngine(dir)
@@ -225,7 +252,8 @@ class OracleEngineParitySpec extends AnyFunSuite {
 
   test("priority-frontier expansion: engine matches the oracle with expandTopK=3") {
     val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
-    val eng = new CrawlEngine(SparkTestSession.spark, cfg, tempDir("expand"),
+    val expandDir = tempDir("expand")
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, expandDir,
       batchSize, expandTopK = 3)
     eng.run(seeds)
     assert(oracleExp.counters("expanded") > 0, "fixture must actually expand links")
@@ -235,12 +263,22 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(engDocs == oracleExp.docs.map(d => d.doc_id -> d.spans).toMap)
     // expansion must have produced docs beyond the search-driven set
     assert(oracleExp.docs.size > oracle.docs.size)
-    // frontier table and oracle frontier agree on what remains unpicked:
-    // everything in the final frontier is unseen
+    // the frontier is a DELTA log: per-generation commits append only
+    // discoveries and leave picked rows dead (their urls are in seen) —
+    // maintain() folds them out physically; afterwards everything left in
+    // the table is genuinely unseen/unpicked
     val spark = SparkTestSession.spark
     import spark.implicits._
+    val withDead = eng.frontierT.read(spark).get.select($"url").as[String].collect().toSet
+    eng.maintain()
     val frontierUrls = eng.frontierT.read(spark).get.select($"url").as[String].collect().toSet
     assert(frontierUrls.intersect(oracleExp.seen).isEmpty)
+    assert((withDead -- frontierUrls).subsetOf(oracleExp.seen),
+      "folding may only remove seen (dead) rows")
+    // the fold must not change observable crawl results on resume
+    val eng3 = new CrawlEngine(spark, cfg, expandDir, batchSize, expandTopK = 3)
+    assert(eng3.run(seeds) == 0)
+    assert(eng3.seenSet() == oracleExp.seen)
   }
 
   test("politeness invariant: consecutive fetches per host spaced >= min_delay") {
