@@ -211,12 +211,18 @@ object SparkEntry {
     }),
 
     // ---------------- embedding-cosine near-dup via LSH buckets ----------------
+    // autoPlanes: the plane count grows with log2(corpus) so expected bucket
+    // occupancy stays bounded at 100x data (scale-safe BY DEFAULT, not by
+    // option); one-bit multi-probe compensates the recall near the
+    // threshold. The planted duplicates are exact scalar multiples (cosine
+    // 1.0) — sign-LSH buckets them identically at ANY plane count, so the
+    // exhaustive-pair DuckDB oracle stays a true oracle as planes grow.
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
       val planted = e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
-      TextDedup.embeddingNearDups(planted, 0.95)
+      TextDedup.embeddingNearDups(planted, 0.95, autoPlanes = Some(planted.count()))
         .select(col("a"), col("b")).orderBy(col("a"), col("b"))
     }),
 
@@ -359,13 +365,14 @@ object SparkEntry {
     }),
 
     // ---------------- document fingerprinting (rows-only) ----------------
-    // rolling_fingerprint is a native codegen'd Catalyst Expression
-    // (graft.functions.expressions), not a UDF — stays in whole-stage codegen
+    // rolling_fingerprint AND winnow_fingerprints are native codegen'd
+    // Catalyst Expressions (graft.functions.expressions), not UDFs — the
+    // whole fingerprint scan stays inside whole-stage codegen
     "q_fingerprint" -> ((s, dir) => {
       graft.functions.expressions.GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"),
         expr("rolling_fingerprint(text)").as("fingerprint"),
-        size(TextAnalysis.winnowingFingerprints(col("text"), lit(8), lit(4))).as("n_winnow"))
+        size(TextAnalysis.winnowingFingerprints("text", 8, 4)).as("n_winnow"))
         .orderBy(col("doc_id"))
     }),
 

@@ -2,10 +2,13 @@ package graft.functions.expressions
 
 import graft.util.Hashing
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's scalar hot paths — the
@@ -91,6 +94,89 @@ object SimHash64Expr {
   }
 }
 
+/** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD 2003) as a
+  * native array-returning codegen'd expression — the last ScalaUDF in the
+  * q_fingerprint path, upgraded with the same pattern as the sibling
+  * [[RollingFingerprintExpr]]. Children: (text STRING, k INT literal,
+  * w INT literal). Semantics match the former UDF exactly, including
+  * null text ⇒ EMPTY array (never SQL NULL) — the expression is
+  * non-nullable, so downstream size() arithmetic needs no null branch.
+  */
+case class WinnowingFingerprintsExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == IntegerType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires (STRING, INT, INT), got (${first.dataType.catalogString}, " +
+        s"${second.dataType.catalogString}, ${third.dataType.catalogString})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def eval(input: InternalRow): Any = {
+    val t = first.eval(input)
+    WinnowingFingerprintsExpr.winnow(
+      if (t == null) null else t.asInstanceOf[UTF8String],
+      second.eval(input).asInstanceOf[Int], third.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tGen = first.genCode(ctx)
+    val kGen = second.genCode(ctx)
+    val wGen = third.genCode(ctx)
+    val resultCode =
+      code"""
+         |${tGen.code}
+         |${kGen.code}
+         |${wGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.expressions.WinnowingFingerprintsExpr.winnow(
+         |    ${tGen.isNull} ? null : ${tGen.value}, ${kGen.value}, ${wGen.value});
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowingFingerprintsExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WinnowingFingerprintsExpr {
+  /** Shared kernel: k-gram base-257 rolling hashes over whitespace-
+    * normalized lowercased text, minimum per sliding window of w, distinct
+    * in first-occurrence order (== the former UDF's
+    * `grams.sliding(w).map(_.min).distinct`; a text shorter than one full
+    * window yields the single whole-window minimum, like Scala sliding()).
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = (if (text == null) "" else text.toString).trim.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) return new GenericArrayData(Array.empty[Long])
+    val n = s.length - k + 1
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) { grams(i) = Hashing.poly257(s, i, i + k); i += 1 }
+    val win = math.max(1, w)
+    val nWindows = math.max(1, n - win + 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nWindows) {
+      var m = grams(j)
+      var t = j + 1
+      val end = math.min(j + win, n)
+      while (t < end) { if (grams(t) < m) m = grams(t); t += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** PDF-confirm probe gate (P5/S7) as a native expression: the per-kept-row
   * content-type check runs codegen'd in the generation DAG (was a ScalaUDF).
   * Children: (url STRING, seed LONG literal). Kernel = SyntheticWeb's
@@ -152,6 +238,9 @@ object GraftFunctions {
       "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "built-in")
     r.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      exprs => WinnowingFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     r.createOrReplaceTempFunction(
       "confirms_pdf", exprs => ConfirmsPdfExpr(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(

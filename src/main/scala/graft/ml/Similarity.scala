@@ -86,9 +86,31 @@ object Similarity {
     * previous centroid. Deterministic: seed sample + hash-sample + fixed
     * iteration count, no RNG.
     */
+  /** Driver-side codebook memo keyed by (canonicalized corpus plan, nlist,
+    * iters, sampleN, cols): k-means is deterministic in those inputs, so a
+    * repeated ivfTopK over the same corpus (the common serving pattern —
+    * many query batches against one indexed corpus) reuses the trained
+    * codebook instead of re-running Lloyd's per invocation. The key is the
+    * ANALYZED plan: mutating the underlying files without a new plan is
+    * outside the contract — call [[clearCodebookCache]] after such a swap.
+    * Entries are nlist×dim floats (KBs); an unbounded map of them is safe.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  def clearCodebookCache(): Unit = codebookCache.clear()
+
   def kmeansCodebook(corpus: DataFrame, nlist: Int, iters: Int = 3,
                      sampleN: Int = 4096, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Float]] = {
+    val key = s"${corpus.queryExecution.analyzed.canonicalized}#$nlist#$iters#$sampleN#$idCol#$vecCol"
+    codebookCache.computeIfAbsent(key, _ =>
+      kmeansCodebookUncached(corpus, nlist, iters, sampleN, idCol, vecCol))
+  }
+
+  private def kmeansCodebookUncached(corpus: DataFrame, nlist: Int, iters: Int,
+                                     sampleN: Int, idCol: String,
+                                     vecCol: String): Array[Array[Float]] = {
     var codebook = sampledCodebook(corpus, nlist, idCol, vecCol)
     require(codebook.nonEmpty, "corpus must be non-empty")
     if (iters <= 0) return codebook

@@ -1,6 +1,5 @@
 package graft.ml
 
-import graft.util.Hashing
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -168,15 +167,12 @@ object TextAnalysis {
     * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) — the near-dup fingerprint.
     * Gram hash = the same base-257 polynomial as the document fingerprint
     * (a true rolling hash, and pure integer arithmetic — DuckDB-oracleable,
-    * unlike a seeded murmur3 gram hash).
+    * unlike a seeded murmur3 gram hash). A native codegen'd expression
+    * (graft.functions.expressions.WinnowingFingerprintsExpr, registered as
+    * `winnow_fingerprints(text, k, w)`), not a UDF — the whole fingerprint
+    * family now stays inside whole-stage codegen. Callers must have run
+    * GraftFunctions.register(spark) (idempotent).
     */
-  val winnowingFingerprints: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String, k: Int, w: Int) =>
-      val s = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
-      if (s.length < k) Seq.empty[Long]
-      else {
-        val grams = (0 to s.length - k).map(i => Hashing.poly257(s, i, i + k))
-        grams.sliding(math.max(1, w)).map(_.min).toSeq.distinct
-      }
-    }
+  def winnowingFingerprints(textCol: String, k: Int, w: Int): Column =
+    expr(s"winnow_fingerprints(`$textCol`, $k, $w)")
 }

@@ -406,10 +406,22 @@ object TextDedup {
     val reliable = reliableCheckpoints
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint(true)
+    // convergence signature: (row count, bit_xor of row hashes) — an
+    // order-independent SET signature (the edge set is distinct()ed every
+    // round) computed by ONE narrow map-side-partial aggregation. The old
+    // check union+groupBy'd BOTH edge sets every round — a second full
+    // shuffle per iteration that roughly doubled round cost. A signature
+    // collision (two different edge sets with equal count and XOR-sum,
+    // ~2⁻⁶⁴) would stop one round early; acceptable against halving every
+    // round's cost.
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var edges = pairs.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       .filter($"u" =!= $"v").distinct()
       .persist()
-    edges.count()
+    var sig = edgeSig(edges) // also materializes the persist
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -434,11 +446,11 @@ object TextDedup {
         // truncate lineage across rounds (star-contraction is iterative;
         // without this the plan doubles every round)
         .transform(truncate)
-      val changed = next.unionByName(edges).groupBy($"u", $"v")
-        .agg(count(lit(1)).as("c")).filter($"c" =!= 2).limit(1).count() > 0
+      val nextSig = edgeSig(next)
       edges.unpersist()
       edges = next
-      converged = !changed
+      converged = nextSig == sig
+      sig = nextSig
     }
     val out = edges.select($"u".as("doc_id"), $"v".as("keep_id"))
       .unionByName(edges.select($"v".as("doc_id"), $"v".as("keep_id")))
@@ -452,12 +464,23 @@ object TextDedup {
     * `autoPlanes` is set, the plane count grows with log₂(corpus size) so
     * the expected bucket occupancy n/2^planes stays bounded — a fixed plane
     * count turns the in-bucket self-join O(n²/2^planes) at 100× data.
-    * More planes trade recall near the threshold for that bound (candidates
-    * only form within a bucket); production would add multi-probe.
+    *
+    * `multiProbe` (default on) compensates the recall more planes cost:
+    * the left side of the self-join probes its own bucket PLUS every
+    * one-bit flip (the [[Similarity.lshTopK]] construction), so any pair
+    * whose signatures differ in at most one plane still meets — each such
+    * pair meets on exactly one probe (hamming-0 on the identity probe,
+    * hamming-1 on the single differing bit), so no distinct pass is
+    * needed. Cost: the probe explode multiplies the left side by
+    * nPlanes+1 — rows of 8-byte buckets, not vectors; the verify join
+    * still carries the vectors once per side. Exact scalar-multiple
+    * duplicates (cosine 1.0) are bucket-identical at ANY plane count —
+    * sign(dot) is scale-invariant — so their recall is structural.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        planes: Int = 8, autoPlanes: Option[Long] = None): DataFrame = {
+                        planes: Int = 8, autoPlanes: Option[Long] = None,
+                        multiProbe: Boolean = true): DataFrame = {
     val dim = 64
     val nPlanes = autoPlanes match {
       case Some(n) if n > 0 =>
@@ -475,7 +498,12 @@ object TextDedup {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val withSig = emb.select(col(idCol).as("id"), v.as("vec"), norm.as("nrm"), sigBits.as("bucket"))
-    val pairs = withSig.as("x").join(withSig.as("y"),
+    val probeMasks =
+      if (multiProbe) array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
+      else array(lit(0L))
+    val probing = withSig.select($"id", $"vec", $"nrm",
+      explode(transform(probeMasks, m => $"bucket".bitwiseXOR(m))).as("bucket"))
+    val pairs = probing.as("x").join(withSig.as("y"),
       col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
     pairs.select(col("x.id").as("a"), col("y.id").as("b"),
       (aggregate(zip_with(col("x.vec"), col("y.vec"), (p, q) => p * q),

@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite {
       val plan = executedPlan(q)
       assert(!plan.contains("ScalaUDF"), s"$q plan contains a ScalaUDF:\n$plan")
     }
+    // both fingerprint expressions must sit INSIDE a whole-stage-codegen
+    // span (a native expression outside codegen would still be a boundary)
+    val fpPlan = executedPlan("q_fingerprint")
+    Seq("rolling_fingerprint", "winnow_fingerprints").foreach { fn =>
+      val line = fpPlan.linesIterator.find(_.contains(fn)).getOrElse("")
+      assert("\\*\\(\\d+\\)".r.findFirstIn(line).isDefined,
+        s"$fn not in a codegen stage:\n$fpPlan")
+    }
   }
 
   test("crawl generation DAG carries no ScalaUDF (pdf confirm + frontier score are native)") {

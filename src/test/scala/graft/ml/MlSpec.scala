@@ -157,6 +157,30 @@ class MlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("embedding near-dups: multi-probe holds recall at 2x planes, scaled copies survive autoPlanes") {
+    val scaled = vectors.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val corpus = vectors.unionByName(scaled)
+    val want = (0 until 200 by 20).map(i => (i.toLong, i + 1000L)).toSet
+    // 2x the default plane count: exact-bucket recall would be at risk for
+    // near-threshold pairs; multi-probe must (a) never lose the structural
+    // hamming-0 pairs and (b) return a superset of the exact-bucket output
+    // (every extra pair still passes the exact cosine verify)
+    val multi = TextDedup.embeddingNearDups(corpus, 0.95, planes = 16, multiProbe = true)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val single = TextDedup.embeddingNearDups(corpus, 0.95, planes = 16, multiProbe = false)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(multi), s"missing planted pairs: ${want -- multi}")
+    assert(single.subsetOf(multi), "multi-probe must be a superset of exact-bucket")
+    // autoPlanes growth path: corpus of 220 with target 256 keeps the
+    // 8-plane default; a claimed corpus of 2^20 must raise the plane count
+    // and the structural pairs must still be found via multi-probe
+    val grown = TextDedup.embeddingNearDups(corpus, 0.95, autoPlanes = Some(1L << 20))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(grown), s"autoPlanes lost planted pairs: ${want -- grown}")
+  }
+
   test("LSH ANN has high recall vs exact brute-force top-k") {
     val queries = vectors.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(vectors, queries, 5)
@@ -183,6 +207,15 @@ class MlSpec extends AnyFunSuite {
     val full = Similarity.ivfTopK(vectors, queries, 5, nlist = 8, nprobe = 8)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
+  }
+
+  test("IVF codebook is cached per (corpus plan, nlist, config) and reused") {
+    Similarity.clearCodebookCache()
+    val c1 = Similarity.kmeansCodebook(vectors, 8, iters = 1)
+    val c2 = Similarity.kmeansCodebook(vectors, 8, iters = 1)
+    assert(c1 eq c2, "identical corpus/config must return the memoized codebook")
+    val c3 = Similarity.kmeansCodebook(vectors, 4, iters = 1)
+    assert(!(c1 eq c3), "a different nlist must train its own codebook")
   }
 
   test("text analysis: token counts, langid, quality, fingerprints") {
