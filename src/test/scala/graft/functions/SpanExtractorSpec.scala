@@ -57,6 +57,22 @@ class SpanExtractorSpec extends AnyFunSuite {
     assert(script.children.head == Right("if (a &amp;&amp; b) x = 1;"))
   }
 
+  test("full HTML4 entity table: fractions, ligatures, Greek, arrows, math decode like html.unescape") {
+    val html =
+      """<title>&frac12; cup &OElig;uvre &mdash; &oelig;uvres</title>
+        |<meta name="description" content="&alpha;&beta;&gamma; &rarr; &infin; &ne; &empty;">
+        |<h2>&Sigma;x &le; &frac34; &middot; &lang;v&rang; &hearts;</h2>
+        |<p>temperature &plusmn;2&deg; at &asymp;45&permil; humidity keeps the archive &sect;7 compliant</p>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    // expected strings are the exact html.unescape values (U+00BD, U+0152,
+    // U+0153, Greek block, U+2192/U+221E/U+2260/U+2205, U+27E8/U+27E9...)
+    assert(ex.pageTitle == "½ cup Œuvre — œuvres")
+    assert(ex.pageSummary == "αβγ → ∞ ≠ ∅")
+    assert(ex.spans.find(_.kind == "heading").get.text ==
+      "## Σx ≤ ¾ · ⟨v⟩ ♥")
+    assert(ex.spans.exists(_.text.contains("±2° at ≈45‰")))
+  }
+
   test("implied end tags: table/dd/option content lands in the right cells") {
     val root = HtmlDom.parse(
       """<table>
