@@ -205,7 +205,11 @@ object SparkEntry {
     // Jaccard pairs on a fixture with planted size-3 clusters
     "q_dedup_cluster" -> ((s, dir) => {
       val base = TextDedup.shingleDocBase(clusterDocs(s, dir), 3)
-      val pairs = TextDedup.jaccardPairsOnBase(base, 0.8)
+      // logDrops=false: the drop audit is a second full aggregation over the
+      // exploded tokens, and the SAME pair generator runs WITH the audit in
+      // q_dedup_jaccard — this query measures cluster resolution, not the
+      // generator (membership is unaffected either way below maxDf)
+      val pairs = TextDedup.jaccardPairsOnBase(base, 0.8, logDrops = false)
       TextDedup.connectedComponents(pairs.select(col("a"), col("b")))
         .orderBy(col("doc_id"))
     }),

@@ -404,8 +404,13 @@ object TextDedup {
         "spark.sparkContext.setCheckpointDir — refusing to silently degrade " +
         "to executor-local checkpoints")
     val reliable = reliableCheckpoints
+    // local mode: LAZY checkpoint — the per-round signature aggregation
+    // below materializes it, so lineage truncation + convergence check run
+    // as ONE job per round instead of two. Reliable mode stays eager (the
+    // checkpoint is the executor-loss-safety point; it must exist before
+    // anything else reads the round's output).
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint(true)
+      if (reliable) df.checkpoint() else df.localCheckpoint(false)
     // convergence signature: (row count, bit_xor of row hashes) — an
     // order-independent SET signature (the edge set is distinct()ed every
     // round) computed by ONE narrow map-side-partial aggregation. The old
