@@ -207,7 +207,12 @@ object Bench {
       waitForCalm(30000)
       // pre-gate: what the MACHINE gives THIS window (~8 s)
       val wCtl = memControlEff(lo, hi, passes = 30)
-      if (wCtl < calmGate && skipped < 20 && elapsedSec + 20 + pairCostSec < budgetSec) {
+      // skip cap 60 is a backstop only — the budget term is the real bound
+      // (a skip costs ~10 s; measuring a degraded window costs a ~150 s
+      // pair that the criterion then ignores). Observed: a 200 s degraded
+      // stretch of 20 straight sub-gate windows is a normal weather event
+      // on this host, so a tight cap just forces wasted measurements.
+      if (wCtl < calmGate && skipped < 60 && elapsedSec + 20 + pairCostSec < budgetSec) {
         skipped += 1
         System.err.println(f"[bench] skip degraded window: mem-ctl $wCtl%.3f < gate $calmGate%.2f " +
           f"(skipped=$skipped elapsed=${elapsedSec}%.0fs)")
@@ -496,6 +501,11 @@ object Bench {
         maxAttempts, targetEff, budgetSec, guardTarget, criterionEff, calmGate)
     val benchCfg = sizedCfg(finalQ)
     val attempts = loAll.size
+    // the chosen (headline) pair's OWN window control — the run-level
+    // cpu/mem controls below are measured once after the loop in whatever
+    // window follows and can read arbitrarily low without bearing on any
+    // measured attempt; this field makes the artifact self-interpreting
+    val chosenCtl = attemptCtls.lift(loAll.indexWhere(_ eq loRes)).getOrElse(0.0)
     val efficiency = (hiRes.urlsPerSec / loRes.urlsPerSec) / (hiCrawl.toDouble / lo)
     // transparency: the cross-window best-of-each-side ratio too (rounds
     // 1-2 headline form) — same-attempt pairing is the headline because
@@ -525,6 +535,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"mem_ctl_chosen_pair":$chosenCtl%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }
