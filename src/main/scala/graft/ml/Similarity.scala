@@ -111,35 +111,59 @@ object Similarity {
   private def kmeansCodebookUncached(corpus: DataFrame, nlist: Int, iters: Int,
                                      sampleN: Int, idCol: String,
                                      vecCol: String): Array[Array[Float]] = {
-    var codebook = sampledCodebook(corpus, nlist, idCol, vecCol)
-    require(codebook.nonEmpty, "corpus must be non-empty")
-    if (iters <= 0) return codebook
-    val sample = corpus
+    // ONE distributed job: the deterministic hash-sample, sorted on
+    // (h, tie) — (h, tie) not bare h: equal hashes would otherwise make the
+    // selected sample — and the codebook — partition-order dependent
+    // (determinism rule: ordering comes from data, never task scheduling).
+    // Lloyd's then runs DRIVER-SIDE over the collected sample: sampleN×dim
+    // floats is ~1 MB at the defaults (bounded regardless of corpus size —
+    // this is the same "driver holds only the sketch" contract as the
+    // nlist×dim codebook itself), and iterating in sorted sample order
+    // keeps the arithmetic deterministic. The previous per-iteration
+    // assignment+posexplode+groupBy Spark jobs (~2 jobs × iters over a
+    // 4096-row table) were pure scheduling latency.
+    val sample: Array[Array[Float]] = corpus
       .select(col(vecCol).as("vec"), xxhash64(col(idCol)).as("h"), col(idCol).as("tie"))
-      // (h, tie) not bare h: equal hashes would otherwise make the selected
-      // sample — and the codebook — partition-order dependent (determinism
-      // rule: ordering comes from data, never task scheduling)
       .orderBy("h", "tie").limit(sampleN).select("vec")
-      .persist()
-    sample.count()
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "corpus must be non-empty")
+    // seed centroids = the nlist hash-smallest corpus vectors — a PREFIX of
+    // the same sorted sample (identical selection to sampledCodebook)
+    var codebook = sample.take(nlist).map(_.clone())
+    if (iters <= 0) return codebook
+    val dim = sample(0).length
     for (_ <- 0 until iters) {
-      // two selects: a generator (posexplode) in the same projection makes
-      // the analyzer strip the struct aliases rankedCells' getField needs
-      val assigned = sample.select(col("vec"),
-        rankedCells(col("vec"), codebook).getItem(0).getField("cell").as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          val arr = new Array[Float](rows.length)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
-          cell -> arr
+      val sums = Array.fill(codebook.length)(new Array[Double](dim))
+      val counts = new Array[Long](codebook.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < codebook.length) {
+          var d = 0.0d
+          var i = 0
+          val cen = codebook(c)
+          while (i < dim) { val t = v(i).toDouble - cen(i); d += t * t; i += 1 }
+          // strict < keeps the lowest-index cell on ties (matches the
+          // rankedCells array_sort tie-break on (dist, cell))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
-      codebook = codebook.indices.map(i => means.getOrElse(i, codebook(i))).toArray
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      codebook = codebook.indices.map { c =>
+        if (counts(c) == 0) codebook(c) // empty cell keeps its centroid
+        else {
+          val out = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { out(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          out
+        }
+      }.toArray
     }
-    sample.unpersist()
     codebook
   }
 
