@@ -190,10 +190,14 @@ object Similarity {
     val qCells = queries.select(c(idCol).as("query_id"), c(vecCol).as("qvec"),
       explode(transform(slice(rankedCells(c(vecCol), codebook), 1, math.min(effProbe, codebook.length)),
         s => s.getField("cell"))).as("cell"))
+    // no distinct: each corpus vector is assigned to exactly ONE cell and a
+    // query's probed cells are distinct (slice of the ranked array), so a
+    // (query, neighbor) pair can only meet once — the defensive distinct
+    // was a full extra shuffle+agg of the scored pairs
     val scored = qCells.join(cCells, Seq("cell"))
       .filter(c("query_id") =!= c("neighbor_id"))
       .withColumn("cosine", cosineCol(c("qvec"), c("nvec")))
-      .select(c("query_id"), c("neighbor_id"), c("cosine")).distinct()
+      .select(c("query_id"), c("neighbor_id"), c("cosine"))
     val w = Window.partitionBy(c("query_id")).orderBy(c("cosine").desc, c("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(c("rank") <= k)
       .select(c("query_id"), c("rank"), c("neighbor_id"), c("cosine"))
@@ -222,10 +226,13 @@ object Similarity {
       else array((lit(0) +: (0 until math.min(probes, planes)).map(p => lit(1 << p))): _*)
     val q = qSig.select(col("query_id"), col("qvec"),
       explode(transform(probeBuckets, m => col("b0").bitwiseXOR(m))).as("bucket"))
+    // no distinct: a corpus vector has exactly ONE bucket and the probe
+    // masks are distinct (so the probed buckets are distinct) — a
+    // (query, neighbor) pair meets on at most one probe
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineCol(col("qvec"), col("nvec")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))

@@ -95,13 +95,20 @@ final class CrawlEngine(
   @transient val frontierT: SnapshotTable = store.table("frontier")
   @transient val partitionMetricsT: SnapshotTable = store.table("partition_metrics")
 
-  /** Synthetic robots/politeness host-profile table, broadcast to every
-    * generation (north rule: robots rules evaluated from a host table
-    * joined on host, not per-row callbacks). nHosts rows — always a BHJ.
+  /** Synthetic robots/politeness host-profile table (north rule: robots
+    * rules evaluated from a host table joined on host, not per-row
+    * callbacks). Synthesized DISTRIBUTED via spark.range — each task
+    * derives its rank slice — never as a driver-resident Seq: at the
+    * design scale (10⁷-10⁸ hosts) a driver materialization is GBs before
+    * the first query runs. Whether a join against it broadcasts is the
+    * [[gatedBroadcast]] byte-budget decision at each use site.
     */
   @transient private lazy val hostProfilesDf: DataFrame = {
     import spark.implicits._
-    SyntheticWeb.allHosts(cfg).toDF()
+    val webCfg = cfg
+    spark.range(1L, webCfg.nHosts + 1L).as[Long]
+      .map(r => SyntheticWeb.hostProfile(webCfg, r.toInt))
+      .toDF()
       .select($"host", $"min_delay_ms", $"robots_disallow")
   }
 
