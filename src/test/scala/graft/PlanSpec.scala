@@ -135,6 +135,57 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("host-table broadcasts are byte-gated: hint present under budget, absent over it") {
+    import graft.pipeline.CrawlEngine
+    import graft.synth.WebConfig
+    // disable Spark's own size-based auto-broadcast so the ONLY source of a
+    // BroadcastHashJoin on the host tables is the engine's explicit
+    // gatedBroadcast hint — presence/absence then tests the gate itself
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def quiesce(): Unit = {
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(300)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    }
+    def hostJoinBroadcasts(): Boolean = plans.synchronized(plans.exists(p =>
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("host"))))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      val cfg = WebConfig(seed = 42, nHosts = 30, resultsPerPage = 6)
+      val seeds = (1 to 4).map(i => s"singapore topic $i query")
+      new CrawlEngine(spark, cfg, tempDir("bhj-on"), batchSize = 4).run(seeds)
+      quiesce()
+      assert(hostJoinBroadcasts(),
+        "under budget, the politeness/robots host join must carry the broadcast hint")
+      plans.synchronized(plans.clear())
+      new CrawlEngine(spark, cfg, tempDir("bhj-off"), batchSize = 4,
+        tierBroadcastBytes = 1L).run(seeds)
+      quiesce()
+      assert(!hostJoinBroadcasts(),
+        "over budget, no host-table join may broadcast (plain key join expected)")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    }
+  }
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
   test("crawl generation plan: dedup anti-join reuses the href hash partitioning") {
     // the first-seen window partitions by href; the following anti-join on
     // href must not introduce a second exchange of the candidate stream
