@@ -226,7 +226,12 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       val planted = e.unionByName(e.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
-      TextDedup.embeddingNearDups(planted, 0.95, autoPlanes = Some(planted.count()))
+      // autoPlanes sizing hint: the BARE table's row count (parquet footer
+      // metadata, no column IO) upper-bounds |planted| (= 2/5 of it);
+      // autoPlanes is a log2 sizing knob, so an upper bound only rounds the
+      // plane count up — no full scan inside the timed query for sizing
+      val sizeHint = t(s, dir, "embeddings").count()
+      TextDedup.embeddingNearDups(planted, 0.95, autoPlanes = Some(sizeHint))
         .select(col("a"), col("b")).orderBy(col("a"), col("b"))
     }),
 

@@ -103,7 +103,19 @@ object Similarity {
   def kmeansCodebook(corpus: DataFrame, nlist: Int, iters: Int = 3,
                      sampleN: Int = 4096, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Float]] = {
-    val key = s"${corpus.queryExecution.analyzed.canonicalized}#$nlist#$iters#$sampleN#$idCol#$vecCol"
+    val plan = corpus.queryExecution.analyzed
+    // LocalRelation's string form EXCLUDES its data and canonicalization
+    // normalizes attribute names — two different in-memory corpora with the
+    // same schema would otherwise collide and the second would silently get
+    // the first's codebook. Pin each local relation by the identity of its
+    // data (same DataFrame ⇒ hit; a different or re-built local corpus ⇒
+    // miss — conservative but never wrong). File-backed relations carry
+    // their location in the canonical form already.
+    val localIds = plan.collect {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        System.identityHashCode(lr.data)
+    }.mkString(",")
+    val key = s"${plan.canonicalized}#local[$localIds]#$nlist#$iters#$sampleN#$idCol#$vecCol"
     codebookCache.computeIfAbsent(key, _ =>
       kmeansCodebookUncached(corpus, nlist, iters, sampleN, idCol, vecCol))
   }

@@ -506,13 +506,22 @@ object TextDedup {
     val probeMasks =
       if (multiProbe) array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
       else array(lit(0L))
-    val probing = withSig.select($"id", $"vec", $"nrm",
+    // the probe side carries ONLY (id, bucket) — 16-byte rows — so the
+    // (nPlanes+1)× explode multiplies ids, never vectors. The bucket join
+    // ships the right side's vectors once; the left side's vectors attach
+    // AFTER the match via one id-keyed join. (Exploding (id, vec, nrm)
+    // directly would shuffle ~nPlanes× the corpus's vector bytes — at the
+    // autoPlanes design point that is the dominant exchange.)
+    val probing = withSig.select($"id",
       explode(transform(probeMasks, m => $"bucket".bitwiseXOR(m))).as("bucket"))
-    val pairs = probing.as("x").join(withSig.as("y"),
+    val cand = probing.as("x").join(withSig.as("y"),
       col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-    pairs.select(col("x.id").as("a"), col("y.id").as("b"),
-      (aggregate(zip_with(col("x.vec"), col("y.vec"), (p, q) => p * q),
-        lit(0.0d), (acc, t) => acc + t) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("y.vec").as("vb"), col("y.nrm").as("nb"))
+    cand.join(withSig.select($"id".as("a"), $"vec".as("va"), $"nrm".as("na")), Seq("a"))
+      .select($"a", $"b",
+        (aggregate(zip_with($"va", $"vb", (p, q) => p * q),
+          lit(0.0d), (acc, t) => acc + t) / ($"na" * $"nb")).as("cosine"))
       .filter($"cosine" >= threshold)
   }
 }

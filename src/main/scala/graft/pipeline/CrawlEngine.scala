@@ -226,19 +226,37 @@ final class CrawlEngine(
       .drop("bucket", "bits")
     val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
     val maybe0 = probed.filter($"maybe_seen").drop("maybe_seen")
+    val (maybe, seenSide) = semiFilteredSeen(maybe0, "url", seenDf, expectedRows, caches)
+    defNew.unionByName(maybe.join(seenSide, Seq("url"), "left_anti"))
+  }
+
+  /** The runtime semi-filter trade shared by EVERY exact anti-join against
+    * seen (candidate dedup, frontier picks, discovery dedup — one
+    * implementation so the gating/sizing/persist discipline can't drift
+    * between paths): persist the (small) maybe side, aggregate a bloom over
+    * its `urlCol`, broadcast it to the seen scan — the anti-join's right
+    * side shrinks to ~|maybe| rows BEFORE the exchange. Falls back to the
+    * full seen column when the table is below `seenSemiFilterRows` (the
+    * extra bloom job wouldn't pay) or the bloom would blow the broadcast
+    * budget. Correctness never depends on the filter: FPs shuffle, never
+    * drop. Returns (maybe side — possibly persisted into `caches`, seen
+    * side keyed as `urlCol`).
+    */
+  private def semiFilteredSeen(maybe0: DataFrame, urlCol: String, seenDf: DataFrame,
+                               expectedRows: Long,
+                               caches: scala.collection.mutable.ArrayBuffer[Dataset[_]])
+  : (DataFrame, DataFrame) = {
     val nbM = BlockedBloom.blocksFor(math.max(1L, expectedRows), bloomBitsPerKey)
     val maybeBloomBytes = nbM.toLong * 64 + 64
-    val (maybe, seenSide) =
-      if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
-        maybeBloomBytes <= tierBroadcastBytes) {
-        val m = maybe0.persist(StorageLevel.MEMORY_AND_DISK)
-        caches += m
-        val mBloom = m.agg(expr(s"bloom_agg(url, $nbM, 7)").as("mbits"))
-        (m, seenDf.select($"href".as("url")).join(broadcast(mBloom))
-          .filter(expr("bloom_might_contain(mbits, url)"))
-          .select($"url"))
-      } else (maybe0, seenDf.select($"href".as("url")))
-    defNew.unionByName(maybe.join(seenSide, Seq("url"), "left_anti"))
+    if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
+      maybeBloomBytes <= tierBroadcastBytes) {
+      val m = maybe0.persist(StorageLevel.MEMORY_AND_DISK)
+      caches += m
+      val mBloom = m.agg(expr(s"bloom_agg(`$urlCol`, $nbM, 7)").as("mbits"))
+      (m, seenDf.select($"href".as(urlCol)).join(broadcast(mBloom))
+        .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
+        .select(col(urlCol)))
+    } else (maybe0, seenDf.select($"href".as(urlCol)))
   }
 
   def lastCommittedGeneration: Int =
@@ -441,32 +459,14 @@ final class CrawlEngine(
         val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
         val maybe0 = probed.filter($"maybe_seen").drop("maybe_seen")
         // The exact anti-join's seen side would otherwise SHUFFLE the whole
-        // table every generation — at 10^10 seen rows that is the last
-        // remaining O(|seen|) shuffle in the DAG. Runtime semi-filter: a
-        // bloom aggregated over the (small) maybe side broadcasts to the
-        // seen scan and reduces it to ~|maybe| rows BEFORE the exchange —
-        // scan-heavy, shuffle-light, the same trade Spark's runtime bloom
-        // join filters make. False positives just shuffle a few extra rows;
-        // membership is still decided by the exact anti-join. Gated: below
-        // seenSemiFilterRows the table is too small for the extra bloom
-        // job to pay for itself (and a maybe-bloom sized past the
-        // broadcast budget disables it — correctness never depends on it).
-        val maybeBloomBytes = (BlockedBloom.blocksFor(
-          math.max(1L, nCandidates), bloomBitsPerKey).toLong * 64 + 64)
+        // table every generation — at 10^10 seen rows the last remaining
+        // O(|seen|) shuffle in the DAG. [[semiFilteredSeen]] (one shared
+        // implementation with the frontier/discovery paths) reduces it to
+        // ~|maybe| rows before the exchange; the persist also keeps the
+        // dedup window + tier joins from executing twice per generation
+        // (bloom aggregation AND anti-join both consume the maybe side).
         val (maybe, seenSide) =
-          if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
-            maybeBloomBytes <= tierBroadcastBytes) {
-            // persist the maybe side: BOTH the bloom aggregation and the
-            // anti-join's left side consume it — without the cache the
-            // dedup window + tier joins would execute twice per generation
-            val m = maybe0.persist(StorageLevel.MEMORY_AND_DISK)
-            genCaches += m
-            val nbM = BlockedBloom.blocksFor(math.max(1L, nCandidates), bloomBitsPerKey)
-            val maybeBloom = m.agg(expr(s"bloom_agg(href, $nbM, 7)").as("mbits"))
-            (m, seenDf.select($"href").join(broadcast(maybeBloom))
-              .filter(expr("bloom_might_contain(mbits, href)"))
-              .select($"href"))
-          } else (maybe0, seenDf.select($"href"))
+          semiFilteredSeen(maybe0, "href", seenDf, nCandidates, genCaches)
         defNew.unionByName(maybe.join(seenSide, Seq("href"), "left_anti"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -770,6 +770,15 @@ final class CrawlEngine(
     * depth [[rollbackPartial]] needs (one uncommitted generation).
     */
   def maintain(targetFileBytes: Long = 128L << 20, keepSnapshots: Int = 2): Map[String, Int] = {
+    // roll back FIRST: after a crash the store may hold partial commits of
+    // an unbarriered generation. Folding against that uncommitted seen
+    // delta would drop frontier rows the rollback is about to un-pick (and
+    // stamp the fold with the committed generation, putting it beyond the
+    // next resume's rollback) — the aborted generation's urls would then
+    // be in neither seen nor the frontier. Rollback is idempotent and is
+    // exactly what run() does on entry, so maintenance folds only
+    // barrier-committed state.
+    rollbackPartial()
     foldFrontier()
     val tables = Seq(seenT, linksT, docsT, imagesT, pdfT, processedT,
       hostStateT, metricsT, eventsT, frontierT, partitionMetricsT, bloomT, cuckooT)

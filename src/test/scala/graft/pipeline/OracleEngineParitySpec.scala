@@ -139,6 +139,33 @@ class OracleEngineParitySpec extends AnyFunSuite {
       oracleExp.docs.map(d => d.doc_id -> d.spans).toMap)
   }
 
+  test("maintain after a crash mid-generation: fold sees only committed state, resume stays oracle-equal") {
+    // regression: foldFrontier used to read the UNCOMMITTED seen delta of a
+    // crashed generation and stamp the folded frontier with the committed
+    // generation — the aborted generation's picks then survived rollback in
+    // neither seen nor the frontier. maintain() must roll back first.
+    val oracleExp = SequentialOracle.run(cfg, seeds, batchSize, expandTopK = 3)
+    val dir = tempDir("maintain-crash")
+    val eng1 = new CrawlEngine(SparkTestSession.spark, cfg, dir, batchSize, expandTopK = 3)
+    eng1.run(seeds, maxRounds = 1)
+    // simulate a crash: partial generation-2 commits (seen delta + frontier
+    // append) that never reached the processed_queries barrier
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    eng1.seenT.append(Seq(("https://junk.example/x", "junk.example")).toDF("href", "host"), 2)
+    eng1.frontierT.append(Seq(("https://junk.example/y", "junk.example", 0.5, 2))
+      .toDF("url", "host", "score", "discovered_gen"), 2)
+    // maintenance BETWEEN runs, on the crashed store
+    val eng2 = new CrawlEngine(spark, cfg, dir, batchSize, expandTopK = 3)
+    eng2.maintain()
+    assert(!eng2.seenSet().contains("https://junk.example/x"),
+      "maintain must discard the unbarriered partial generation")
+    val eng3 = new CrawlEngine(spark, cfg, dir, batchSize, expandTopK = 3)
+    eng3.run(seeds)
+    assert(eng3.seenSet() == oracleExp.seen)
+    assert(eng3.crawlOrder() == oracleExp.crawlOrder)
+  }
+
   test("maintain (compact + vacuum) between runs: state identical, resume still a no-op") {
     val dir = tempDir("maintain")
     val eng = newEngine(dir)
