@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.ml.TextAnalysis
+import graft.snapshot.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming training-data ingest: the streaming form of the batch cleaning
+  * pipeline. A documents directory is tailed as a file-source stream and
+  * each micro-batch flows through
+  *
+  *  1. content-hash dedup with watermark-bounded state
+  *     (`dropDuplicatesWithinWatermark` on xxhash64(text) — the state store
+  *     holds only the horizon's hashes, viable on an unbounded feed; an
+  *     exact batch dedup over the lakehouse table remains the authority for
+  *     cross-horizon duplicates, mirroring the crawl engine's
+  *     streaming-tier / exact-tier split),
+  *  2. the Gopher hard quality gates ([[TextAnalysis.gopherGates]] — word
+  *     band, mean-word-length band, symbol ratio, stopword evidence),
+  *  3. an atomic snapshot-table append per micro-batch via `foreachBatch`
+  *     (generation = batch id + 1), so the ingested table carries the same
+  *     commit/rollback/time-travel semantics as every other engine table
+  *     and downstream batch jobs can consume it mid-stream.
+  *
+  * Documents carry no wall-clock timestamp (determinism rule) — virtual
+  * event time is derived from doc_id, exactly like the fetch-event stream's
+  * scheduled_ms clock.
+  */
+object DocIngest {
+
+  /** The cleaning transform shared verbatim by the stream and its batch
+    * oracle (minus the dedup, whose streaming form is watermark-bounded).
+    */
+  private def gated(df: DataFrame): DataFrame = {
+    val g = TextAnalysis.gopherGates(col("text"))
+    df.withColumn("keep", g.getField("keep"))
+      .filter(col("keep")).drop("keep")
+  }
+
+  /** Build the cleaned stream: dedup (watermark-bounded) + quality gates.
+    * Exposed separately from [[ingest]] so tests can also sink it to memory.
+    */
+  def cleanedStream(spark: SparkSession, srcDir: String,
+                    watermark: String = "1 hour",
+                    maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+    gated(
+      raw.withColumn("content_hash", xxhash64(col("text")))
+        .withColumn("event_time", timestamp_millis(col("doc_id")))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark("content_hash"))
+      .drop("event_time")
+  }
+
+  /** The batch oracle of [[cleanedStream]] over the same directory: exact
+    * dedup by content hash (first-arrival winner is arbitrary either way —
+    * compare hash SETS, not survivor ids) + the same gates.
+    */
+  def batchEquivalent(spark: SparkSession, srcDir: String): DataFrame =
+    gated(spark.read.parquet(srcDir)
+      .withColumn("content_hash", xxhash64(col("text")))
+      .dropDuplicates("content_hash"))
+
+  /** Start the ingest: every micro-batch appends atomically to `table`.
+    * AvailableNow by default (drain-what-exists, then stop — the
+    * backfill/test trigger); pass a processing-time trigger for a live tail.
+    */
+  def ingest(spark: SparkSession, srcDir: String, table: SnapshotTable,
+             checkpointDir: String, watermark: String = "1 hour",
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    cleanedStream(spark, srcDir, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one atomic snapshot commit per micro-batch; the generation stamp
+        // makes stream progress rollback-addressable like any engine table
+        table.append(batch, generation = batchId.toInt + 1)
+        ()
+      }
+      .start()
+}
