@@ -177,6 +177,67 @@ object WinnowingFingerprintsExpr {
   }
 }
 
+/** Single-pass MinHash signature vector as a native codegen'd expression.
+  * The Column form (`array((0 until k).map(i => array_min(transform(hashes,
+  * h => xxhash64(h, lit(i))))))`) traverses the shingle array k times and
+  * materializes k intermediate arrays per row — the dominant allocation on
+  * the minhash query's corpus scan. This expression makes ONE pass with k
+  * running minima and produces BIT-IDENTICAL values: Spark's
+  * `xxhash64(h: LONG, i: INT)` folds as
+  * `XXH64.hashInt(i, XXH64.hashLong(h, 42L))`, replicated in the kernel
+  * (and pinned by an equality test against the builtin). Children:
+  * (hashes ARRAY<BIGINT>, numHashes INT literal).
+  */
+case class MinHashSigsExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) if right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires (ARRAY<BIGINT>, INT), got (${left.dataType.catalogString}, " +
+        s"${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(arr: Any, k: Any): Any =
+    MinHashSigsExpr.sigs(arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) =>
+      s"graft.functions.expressions.MinHashSigsExpr.sigs($a, $k)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinHashSigsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSigsExpr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** One pass over the hashes, k running minima. Null elements are skipped
+    * (the Column form's xxhash64 ignores null inputs in the fold — the
+    * shingle base never produces them); an empty array yields
+    * Long.MaxValue minima (the Column form would yield nulls, but callers
+    * guarantee ≥1 shingle per doc).
+    */
+  def sigs(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashLong(hashes.getLong(i), 42L)
+      var p = 0
+      while (p < numHashes) {
+        val m = XXH64.hashInt(p, base)
+        if (m < out(p)) out(p) = m
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** PDF-confirm probe gate (P5/S7) as a native expression: the per-kept-row
   * content-type check runs codegen'd in the generation DAG (was a ScalaUDF).
   * Children: (url STRING, seed LONG literal). Kernel = SyntheticWeb's
@@ -241,6 +302,8 @@ object GraftFunctions {
     r.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowingFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    r.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinHashSigsExpr(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(
       "confirms_pdf", exprs => ConfirmsPdfExpr(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(

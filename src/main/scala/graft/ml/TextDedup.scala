@@ -266,7 +266,11 @@ object TextDedup {
   def minhashLshCandidatesFromBase(base: DataFrame, numHashes: Int = 32, bands: Int = 16,
                                    maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
     val r = numHashes / bands
-    val sig = base.select($"id", minhashFromHashes($"toks", numHashes).as("sig"))
+    // single-pass native signature expression (bit-identical to
+    // [[minhashFromHashes]], which traverses the shingle array numHashes
+    // times and allocates an intermediate array per permutation per row)
+    graft.functions.expressions.GraftFunctions.register(base.sparkSession)
+    val sig = base.select($"id", expr(s"minhash_sigs(toks, $numHashes)").as("sig"))
     val banded = sig.select($"id", explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice($"sig", b * r + 1, lit(r)).as("bsig")))).as("bk"))

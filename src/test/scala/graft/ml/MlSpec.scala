@@ -98,6 +98,17 @@ class MlSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), "every chain node must resolve to keep_id 0")
   }
 
+  test("minhash_sigs native expression is bit-identical to the Column-form signatures") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val base = TextDedup.shingleDocBase(planted, 3)
+    val both = base.select($"id",
+      TextDedup.minhashFromHashes($"toks", 8).as("col_form"),
+      org.apache.spark.sql.functions.expr("minhash_sigs(toks, 8)").as("native"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, a, b) => assert(a == b, s"signature mismatch for doc $id") }
+  }
+
   test("minhash verified near-dups equal the exhaustive exact-jaccard pair set") {
     val exact = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.8)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
