@@ -40,8 +40,10 @@ import HtmlDom.Node
   *    the next 3 p/div/span siblings; joined, whitespace-collapsed,
   *    truncated at 1000 chars with "…" (helper_classes.py:38-82)
   *
-  * Remaining documented simplification: no HTML entity decoding (the
-  * generator emits none; a production build would decode at tokenize time).
+  * HTML entity decoding happens at parse time in [[HtmlDom]] (numeric
+  * references plus the named-entity table, matching BeautifulSoup's
+  * fully-decoded text the reference operates on — helper_classes.py:85-179);
+  * see HtmlDom's scaladoc for the named-entity coverage boundary.
   */
 object SpanExtractor {
 

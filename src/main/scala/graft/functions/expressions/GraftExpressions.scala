@@ -199,13 +199,19 @@ case class MinHashSigsExpr(left: Expression, right: Expression) extends BinaryEx
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
+  // null on an empty shingle array (no signature exists), independent of
+  // child nullability
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(arr: Any, k: Any): Any =
     MinHashSigsExpr.sigs(arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, k) =>
-      s"graft.functions.expressions.MinHashSigsExpr.sigs($a, $k)")
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"""
+         |${ev.value} = graft.functions.expressions.MinHashSigsExpr.sigs($a, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinHashSigsExpr =
     copy(left = newLeft, right = newRight)
@@ -216,13 +222,16 @@ object MinHashSigsExpr {
 
   /** One pass over the hashes, k running minima. Null elements are skipped
     * (the Column form's xxhash64 ignores null inputs in the fold — the
-    * shingle base never produces them); an empty array yields
-    * Long.MaxValue minima (the Column form would yield nulls, but callers
-    * guarantee ≥1 shingle per doc).
+    * shingle base never produces them); an empty array yields NULL — no
+    * signature exists (the Column form yields per-slot nulls; a null
+    * signature keeps empty-text docs out of every LSH band instead of
+    * colliding them all into one Long.MaxValue bucket). Unreachable from
+    * shingleHashes (always ≥1 element) but enforced here, not by a comment.
     */
   def sigs(hashes: ArrayData, numHashes: Int): ArrayData = {
-    val out = Array.fill(numHashes)(Long.MaxValue)
     val n = hashes.numElements()
+    if (n == 0) return null
+    val out = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val base = XXH64.hashLong(hashes.getLong(i), 42L)

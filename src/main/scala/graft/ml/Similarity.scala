@@ -98,6 +98,28 @@ object Similarity {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** Identity registry for LocalRelation data: System.identityHashCode is
+    * NOT unique (and GC address reuse can recycle it), so two different
+    * in-memory corpora could collide on a hash-based key and the second
+    * would silently receive the first's codebook. An IdentityHashMap
+    * assigns each data object a NEVER-REUSED sequence id — reference
+    * equality is the exact "same DataFrame ⇒ hit" contract. Bounded: past
+    * 1024 entries the registry resets; old ids are never re-issued, so
+    * stale cache keys simply miss (conservative, never wrong).
+    */
+  private val localRelIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
+  private var localRelSeq = 0L
+  private def localRelId(data: AnyRef): Long = localRelIds.synchronized {
+    val got = localRelIds.get(data)
+    if (got != null) got.longValue()
+    else {
+      if (localRelIds.size > 1024) localRelIds.clear()
+      localRelSeq += 1
+      localRelIds.put(data, localRelSeq)
+      localRelSeq
+    }
+  }
+
   def clearCodebookCache(): Unit = codebookCache.clear()
 
   def kmeansCodebook(corpus: DataFrame, nlist: Int, iters: Int = 3,
@@ -107,13 +129,14 @@ object Similarity {
     // LocalRelation's string form EXCLUDES its data and canonicalization
     // normalizes attribute names — two different in-memory corpora with the
     // same schema would otherwise collide and the second would silently get
-    // the first's codebook. Pin each local relation by the identity of its
-    // data (same DataFrame ⇒ hit; a different or re-built local corpus ⇒
-    // miss — conservative but never wrong). File-backed relations carry
-    // their location in the canonical form already.
+    // the first's codebook. Pin each local relation by the IDENTITY of its
+    // data via the registry above (same DataFrame ⇒ hit; a different or
+    // re-built local corpus ⇒ miss — conservative but never wrong).
+    // File-backed relations carry their location in the canonical form
+    // already.
     val localIds = plan.collect {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        System.identityHashCode(lr.data)
+        localRelId(lr.data)
     }.mkString(",")
     val key = s"${plan.canonicalized}#local[$localIds]#$nlist#$iters#$sampleN#$idCol#$vecCol"
     codebookCache.computeIfAbsent(key, _ =>

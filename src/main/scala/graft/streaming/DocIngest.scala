@@ -26,6 +26,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Documents carry no wall-clock timestamp (determinism rule) — virtual
   * event time is derived from doc_id, exactly like the fetch-event stream's
   * scheduled_ms clock.
+  *
+  * ==Ordering contract (load-bearing, spec-pinned)==
+  * The virtual clock makes the watermark a function of the LARGEST doc_id
+  * seen so far, while the file source orders micro-batches by file path /
+  * modification time, NOT by doc_id. `dropDuplicatesWithinWatermark` never
+  * filters rows by lateness — the watermark only bounds its STATE — so
+  * out-of-order files cause NO data loss relative to [[batchEquivalent]].
+  * The one divergence direction is the documented duplicate re-emit: a
+  * duplicate arriving after the watermark evicted its key's state (more
+  * than 2× the delay past the original on the virtual clock) passes
+  * through as a second copy, which the authoritative exact batch dedup
+  * later removes. DocIngestSpec pins both halves with an out-of-order
+  * three-file fixture (late uniques survive; a cross-horizon duplicate is
+  * re-emitted). Feeding files monotone in doc_id (the crawl exporter's
+  * generation-stamped files are) keeps even that window closed.
   */
 object DocIngest {
 
@@ -76,10 +91,23 @@ object DocIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // one atomic snapshot commit per micro-batch; the generation stamp
-        // makes stream progress rollback-addressable like any engine table
-        table.append(batch, generation = batchId.toInt + 1)
-        ()
+        commitBatch(table, batch, batchId)
       }
       .start()
+
+  /** One atomic snapshot commit per micro-batch; the generation stamp makes
+    * stream progress rollback-addressable like any engine table.
+    * foreachBatch is at-least-once: after a crash between the append and the
+    * streaming checkpoint commit, Spark REPLAYS the batch — the generation
+    * guard makes the replayed append a no-op instead of a duplicate commit
+    * (the standard exactly-once foreachBatch pattern, possible here because
+    * generations are monotone in batch id). Package-visible so the replay
+    * no-op is directly testable.
+    */
+  private[streaming] def commitBatch(table: SnapshotTable, batch: DataFrame, batchId: Long): Unit = {
+    val gen = batchId.toInt + 1
+    if (!table.currentSnapshot.exists(_.generation >= gen))
+      table.append(batch, generation = gen)
+    ()
+  }
 }

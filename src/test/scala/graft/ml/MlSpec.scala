@@ -109,6 +109,16 @@ class MlSpec extends AnyFunSuite {
     both.foreach { case (id, a, b) => assert(a == b, s"signature mismatch for doc $id") }
   }
 
+  test("minhash_sigs yields NULL on an empty shingle array (no one-bucket collision for empty docs)") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT minhash_sigs(CAST(array() AS ARRAY<BIGINT>), 8) AS empty, " +
+        "minhash_sigs(CAST(NULL AS ARRAY<BIGINT>), 8) AS nul")
+      .collect()(0)
+    assert(row.isNullAt(0), "empty shingle array must produce a NULL signature, not Long.MaxValue slots")
+    assert(row.isNullAt(1), "null input stays null")
+  }
+
   test("minhash verified near-dups equal the exhaustive exact-jaccard pair set") {
     val exact = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.8)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
@@ -227,6 +237,24 @@ class MlSpec extends AnyFunSuite {
     assert(c1 eq c2, "identical corpus/config must return the memoized codebook")
     val c3 = Similarity.kmeansCodebook(vectors, 4, iters = 1)
     assert(!(c1 eq c3), "a different nlist must train its own codebook")
+  }
+
+  test("codebook cache keys distinct in-memory corpora by data identity, not hash") {
+    Similarity.clearCodebookCache()
+    // two DIFFERENT local corpora with the identical canonical schema: a
+    // hash-based key (identityHashCode can collide / be reused after GC)
+    // could hand corpus B corpus A's codebook — identity-registry keys can't
+    def mk(shift: Float) = (0 until 64)
+      .map(i => (i.toLong, Array.tabulate(8)(d => shift + i * 0.1f + d)))
+      .toDF("vec_id", "embedding")
+    val a = mk(0f); val b = mk(100f)
+    val ca = Similarity.kmeansCodebook(a, 4, iters = 1)
+    val cb = Similarity.kmeansCodebook(b, 4, iters = 1)
+    assert(!(ca eq cb), "distinct local corpora must not share a codebook")
+    assert(!ca.zip(cb).forall { case (x, y) => x.sameElements(y) },
+      "corpus B silently received corpus A's centroids")
+    // and the SAME DataFrame still hits the memo
+    assert(Similarity.kmeansCodebook(a, 4, iters = 1) eq ca)
   }
 
   test("text analysis: token counts, langid, quality, fingerprints") {
