@@ -422,7 +422,12 @@ object Bench {
         SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
         SparkEntry.queries("q_dedup_exact")(spark, "/root/testdata/sf0.001").count()
       } catch { case _: Throwable => () }
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // BENCH_QUERY_FILTER=a,b,c: time only the named queries (iteration aid;
+      // the recorded artifact always runs the full set)
+      val filter = sys.env.get("BENCH_QUERY_FILTER").map(_.split(",").toSet)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => filter.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.util.Hashing
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for the training-data pipeline, all
@@ -73,10 +73,23 @@ object TextDedup {
   def shingleTokens(docs: DataFrame, shingleSize: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = filter(split(col(textCol), " "), t => t =!= "")
-    docs.where(size(words) >= shingleSize) // guard: sequence() needs stop >= start
+    parallelFloor(docs).where(size(words) >= shingleSize) // guard: sequence() needs stop >= start
       .select(col(idCol).as("id"),
         explode(array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
           i => concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("tok"))
+  }
+
+  /** Parallelism floor for the shingle family's narrow hash-heavy maps: a
+    * small corpus (one parquet file, a union of a few branches) arrives in
+    * a handful of input partitions and would run the split/slice/hash
+    * pipeline on that handful of cores while the rest of the machine
+    * idles. Widen to the session's parallelism first — the repartition
+    * shuffles raw texts BEFORE the ~shingleSize× explosion, and at scale
+    * (input partitions >= parallelism) it is a no-op branch.
+    */
+  private def parallelFloor(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }
 
   /** Token table with string tokens replaced by 64-bit hashes: every
@@ -105,7 +118,7 @@ object TextDedup {
   def shingleDocBase(docs: DataFrame, shingleSize: Int,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = filter(split(col(textCol), " "), t => t =!= "")
-    docs.where(size(words) >= shingleSize)
+    parallelFloor(docs).where(size(words) >= shingleSize)
       .select(col(idCol).as("id"),
         array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
           i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("toks"))
@@ -390,7 +403,8 @@ object TextDedup {
     * is a skewed partition (AQE-splittable), not an OOM row.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          reliableCheckpoints: Boolean = false): DataFrame = {
+                          reliableCheckpoints: Boolean = false,
+                          driverEndgameEdges: Long = 1L << 17): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = pairs.sparkSession
     // lineage truncation between rounds: reliableCheckpoints=true (requires
@@ -433,7 +447,16 @@ object TextDedup {
     var sig = edgeSig(edges) // also materializes the persist
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // Driver endgame: star-contraction shrinks the edge set geometrically,
+    // but each distributed round still pays the fixed scheduling cost of
+    // its shuffles — the dominant wall once edges are small. Below
+    // `driverEndgameEdges` rows (default 2¹⁷ ≈ 2 MB of (u,v) longs — the
+    // same bounded "driver holds only the sketch" contract as the IVF
+    // sample) the remaining O(log n) rounds are replaced by ONE collect +
+    // union-find. A 100-TB edge set still contracts distributed until it
+    // crosses the threshold. The survivor rule (keep_id = component min) is
+    // identical: union attaches the larger root under the smaller.
+    while (!converged && sig._1 > driverEndgameEdges && iter < maxIter) {
       iter += 1
       // large-star: every node x links its strictly-larger neighbors to
       // min(N(x) ∪ {x})
@@ -461,10 +484,42 @@ object TextDedup {
       converged = nextSig == sig
       sig = nextSig
     }
+    if (!converged && sig._1 <= driverEndgameEdges) {
+      val out = driverUnionFind(spark, edges)
+      edges.unpersist()
+      return out
+    }
     val out = edges.select($"u".as("doc_id"), $"v".as("keep_id"))
       .unionByName(edges.select($"v".as("doc_id"), $"v".as("keep_id")))
       .distinct()
     out
+  }
+
+  /** The endgame of [[connectedComponents]]: exact union-find with path
+    * compression over a collected (bounded) edge set; root = component min,
+    * matching the distributed survivor rule bit-for-bit (MlSpec pins
+    * equality against the pure-distributed path).
+    */
+  private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val local = edges.select(col("u"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, r); parent.put(c, r); c = n }
+      r
+    }
+    local.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    val nodes = collection.mutable.SortedSet.empty[Long]
+    local.foreach { case (u, v) => nodes += u; nodes += v }
+    // sorted node order keeps the local relation deterministic
+    import spark.implicits._
+    nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "keep_id")
   }
 
   /** Embedding-cosine near-dup pairs: unit-normalize, LSH-bucket by the

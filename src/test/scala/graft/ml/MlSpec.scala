@@ -92,10 +92,28 @@ class MlSpec extends AnyFunSuite {
     // convergence inside it IS the O(log n) evidence (linear propagation
     // would need ~4096 rounds)
     val chain = (0 until 4095).map(i => (i.toLong, i + 1L)).toDF("a", "b")
-    val got = TextDedup.connectedComponents(chain, maxIter = 30)
+    // driverEndgameEdges = 0 forces the pure-distributed star-contraction
+    // path (the default endgame would absorb this small fixture)
+    val got = TextDedup.connectedComponents(chain, maxIter = 30, driverEndgameEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 4096)
     assert(got.forall(_._2 == 0L), "every chain node must resolve to keep_id 0")
+  }
+
+  test("driver endgame union-find equals the pure-distributed star-contraction result") {
+    // mixed shape: two chains, a triangle, an isolated edge, duplicate and
+    // reversed pairs — everything the edge normalization must absorb
+    val pairs = (
+      (0 until 40).map(i => (i.toLong, i + 1L)) ++
+        (100 until 120).map(i => (i + 1L, i.toLong)) ++
+        Seq((200L, 201L), (201L, 202L), (202L, 200L), (300L, 301L), (301L, 300L))
+      ).toDF("a", "b")
+    val viaEndgame = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val viaDistributed = TextDedup.connectedComponents(pairs, driverEndgameEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(viaEndgame == viaDistributed)
+    assert(viaEndgame.exists(_ == (202L, 200L)), "triangle resolves to min id 200")
   }
 
   test("minhash_sigs native expression is bit-identical to the Column-form signatures") {
