@@ -522,16 +522,42 @@ object Bench {
     // headline throughput at FULL width (SPARK_GRAFT_CPUS, unpinned-wide):
     // the scaling pair runs narrow on purpose (see pair policy), but the
     // absolute urls/s progression across rounds is tracked at full width.
-    // Calm-gated best-of-N (default 2): the r3 recorded full-width number
-    // was one run in a degraded window (15.7k vs quiet-window probes of
-    // 17.7-22.6k) — a single uncontrolled sample records weather.
+    // PRE-GATED best-of-N (r4 verdict): this leg previously only
+    // waitForCalm'd on /proc/stat busy, which reads calm while a NEIGHBOR
+    // saturates the memory controller — the r3 and r4 recorded full-width
+    // numbers both landed in such windows (19.1k recorded vs 24.7-27.3k in
+    // calm-window rehearsals). Each attempt now runs the SAME quick
+    // mem-control burn that gates the scaling pairs; degraded windows are
+    // skipped for ~10 s within a bounded budget, and every measured
+    // attempt's control is recorded (full_attempts_ctl) with the chosen
+    // attempt's own window control as mem_ctl_full.
     val fullAttempts = math.max(1, sys.env.getOrElse("BENCH_FULL_ATTEMPTS", "2").toInt)
+    val fullBudgetSec = sys.env.getOrElse("BENCH_FULL_BUDGET_SEC", "300").toLong
+    val fullCtls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var full: CrawlResult = null
-    for (a <- 1 to fullAttempts) {
+    var fullCtl = 0.0
+    var fullSkipped = 0
+    val tFull0 = System.nanoTime()
+    def fullElapsed = (System.nanoTime() - tFull0) / 1e9
+    var fa = 0
+    while (fa < fullAttempts) {
       waitForCalm(20000)
-      val r = crawlBench(cpus, finalQ, batchOf(finalQ), sizedCfg(finalQ))
-      System.err.println(f"[bench] full-width($cpus) attempt $a: wall=${r.wallSec}%.1fs urls/s=${r.urlsPerSec}%.1f")
-      if (full == null || r.urlsPerSec > full.urlsPerSec) full = r
+      val wCtl = memControlEff(lo, hiCrawl, passes = 30)
+      val runCost = if (full != null) full.wallSec * 1.5 else 40.0
+      if (wCtl < calmGate && fullSkipped < 30 && fullElapsed + 10 + runCost < fullBudgetSec) {
+        fullSkipped += 1
+        System.err.println(f"[bench] full-width skip degraded window: mem-ctl $wCtl%.3f < gate " +
+          f"$calmGate%.2f (skipped=$fullSkipped elapsed=${fullElapsed}%.0fs)")
+        Thread.sleep(8000)
+      } else {
+        fa += 1
+        System.gc()
+        val r = crawlBench(cpus, finalQ, batchOf(finalQ), sizedCfg(finalQ))
+        fullCtls += wCtl
+        System.err.println(f"[bench] full-width($cpus) attempt $fa: wall=${r.wallSec}%.1fs " +
+          f"urls/s=${r.urlsPerSec}%.1f (mem-ctl $wCtl%.3f)")
+        if (full == null || r.urlsPerSec > full.urlsPerSec) { full = r; fullCtl = wCtl }
+      }
     }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -540,6 +566,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"mem_ctl_chosen_pair":$chosenCtl%.3f,"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"mem_ctl_chosen_pair":$chosenCtl%.3f,"mem_ctl_full":$fullCtl%.3f,"full_attempts_ctl":${fullCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }

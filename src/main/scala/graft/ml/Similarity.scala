@@ -122,6 +122,47 @@ object Similarity {
 
   def clearCodebookCache(): Unit = codebookCache.clear()
 
+  /** Number of actual Lloyd's trainings this JVM ran (test observability
+    * for the memo/persistence layers).
+    */
+  private[ml] val trainCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Cross-session codebook persistence: the in-memory memo above dies with
+    * the JVM, so a serving deployment that restarts per batch would retrain
+    * Lloyd's every time. This variant completes the pattern: the caller
+    * names the corpus durably (`corpusKey`, e.g. "<table path>@<snapshot
+    * id>" from the snapshot store — the same identity discipline as the
+    * plan-keyed memo, but restart-stable), and the trained codebook is
+    * stored as JSON under `cacheDir`. Lookup order: in-memory memo →
+    * persisted file → train + atomic write (tmp + move, so a crashed writer
+    * never leaves a torn file). Entries are nlist×dim floats (KBs).
+    */
+  def kmeansCodebookPersistent(corpus: DataFrame, cacheDir: java.nio.file.Path,
+                               corpusKey: String, nlist: Int, iters: Int = 3,
+                               sampleN: Int = 4096, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Array[Array[Float]] = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val cfgKey = s"$corpusKey#$nlist#$iters#$sampleN#$idCol#$vecCol"
+    codebookCache.computeIfAbsent(s"persist#$cfgKey", _ => {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(cfgKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val file = cacheDir.resolve(s"codebook-$digest.json")
+      if (Files.exists(file)) {
+        val parsed = org.json4s.jackson.JsonMethods.parse(Files.readString(file))
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        parsed.extract[List[List[Float]]].map(_.toArray).toArray
+      } else {
+        val cb = kmeansCodebookUncached(corpus, nlist, iters, sampleN, idCol, vecCol)
+        Files.createDirectories(cacheDir)
+        val tmp = cacheDir.resolve(s".codebook-$digest.tmp")
+        Files.writeString(tmp, org.json4s.jackson.Serialization.write(
+          cb.map(_.toList).toList)(org.json4s.DefaultFormats))
+        Files.move(tmp, file, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        cb
+      }
+    })
+  }
+
   def kmeansCodebook(corpus: DataFrame, nlist: Int, iters: Int = 3,
                      sampleN: Int = 4096, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Float]] = {
@@ -146,6 +187,7 @@ object Similarity {
   private def kmeansCodebookUncached(corpus: DataFrame, nlist: Int, iters: Int,
                                      sampleN: Int, idCol: String,
                                      vecCol: String): Array[Array[Float]] = {
+    trainCount.incrementAndGet()
     // ONE distributed job: the deterministic hash-sample, sorted on
     // (h, tie) — (h, tie) not bare h: equal hashes would otherwise make the
     // selected sample — and the codebook — partition-order dependent
@@ -212,9 +254,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              kmeansIters: Int = 2, probeAll: Boolean = false): DataFrame = {
+              kmeansIters: Int = 2, probeAll: Boolean = false,
+              persistDir: Option[java.nio.file.Path] = None,
+              corpusKey: String = ""): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val codebook = kmeansCodebook(corpus, nlist, kmeansIters, idCol = idCol, vecCol = vecCol)
+    // persistDir + corpusKey (e.g. "<table path>@<snapshot id>") routes the
+    // codebook through the cross-session store; default stays the
+    // plan-keyed in-memory memo
+    val codebook = persistDir match {
+      case Some(d) => kmeansCodebookPersistent(corpus, d, corpusKey, nlist,
+        kmeansIters, idCol = idCol, vecCol = vecCol)
+      case None => kmeansCodebook(corpus, nlist, kmeansIters, idCol = idCol, vecCol = vecCol)
+    }
     // probeAll = exact-equivalence configuration (every cell probed — output
     // equals brute force) expressed structurally, not by hardcoding a
     // number that silently decouples from the nlist default

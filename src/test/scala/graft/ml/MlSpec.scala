@@ -257,6 +257,49 @@ class MlSpec extends AnyFunSuite {
     assert(!(c1 eq c3), "a different nlist must train its own codebook")
   }
 
+  test("IVF codebook persists across sessions: cleared memo reloads from store, no retrain") {
+    Similarity.clearCodebookCache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-codebook")
+    val before = Similarity.trainCount.get()
+    val c1 = Similarity.kmeansCodebookPersistent(vectors, dir, "embeddings@s0", 8, iters = 1)
+    assert(Similarity.trainCount.get() == before + 1, "first call trains")
+    Similarity.clearCodebookCache() // simulate a fresh JVM/session
+    val c2 = Similarity.kmeansCodebookPersistent(vectors, dir, "embeddings@s0", 8, iters = 1)
+    assert(Similarity.trainCount.get() == before + 1, "reload must not re-run Lloyd's")
+    assert(c1.length == c2.length &&
+      c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "JSON round-trip must reproduce the codebook bit-for-bit")
+    // a different corpus key trains its own codebook (no cross-corpus reuse)
+    Similarity.kmeansCodebookPersistent(vectors, dir, "embeddings@s1", 8, iters = 1)
+    assert(Similarity.trainCount.get() == before + 2)
+    // the persistent path slots into ivfTopK and stays exact under probeAll
+    val exact = Similarity.cosineTopK(vectors, vectors.filter($"vec_id" < 5), 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val viaPersist = Similarity.ivfTopK(vectors, vectors.filter($"vec_id" < 5), 5,
+      nlist = 8, kmeansIters = 1, probeAll = true,
+      persistDir = Some(dir), corpusKey = "embeddings@s0")
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaPersist == exact)
+  }
+
+  test("embedding near-dups take the autoPlanes hint from a snapshot manifest counter") {
+    // the scale-composed form: corpus row count comes from the snapshot
+    // store's manifest (free), not a count job over the corpus
+    val store = graft.snapshot.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("graft-emb-store").toString)
+    val tbl = store.table("embeddings")
+    val scaled = vectors.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    tbl.append(vectors.unionByName(scaled), generation = 1)
+    val snap = tbl.currentSnapshot.get
+    assert(snap.rowCount == 210)
+    val got = TextDedup.embeddingNearDups(tbl.read(spark).get, 0.95,
+      autoPlanes = Some(snap.rowCount))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == (0 until 200 by 20).map(i => (i.toLong, i + 1000L)).toSet)
+  }
+
   test("codebook cache keys distinct in-memory corpora by data identity, not hash") {
     Similarity.clearCodebookCache()
     // two DIFFERENT local corpora with the identical canonical schema: a
