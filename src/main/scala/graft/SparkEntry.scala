@@ -365,6 +365,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- streaming training-data ingest (driver-gated) ----------------
+    // the STREAMING clean path under the same DuckDB gate as the batch ops:
+    // stage the documents file as a stream source, drain it with
+    // DocIngest.ingest (AvailableNow -> watermark-bounded dedup + Gopher
+    // gates -> one snapshot commit per micro-batch), then return the kept
+    // TEXT set. Survivor doc_ids are arrival-order-dependent in the stream
+    // and arbitrary in the batch dropDuplicates, but the kept distinct-text
+    // set IS the dedup+gate semantics — the oracle replays it in SQL.
+    "q_stream_ingest" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val src = Files.createTempDirectory("graft-qstream-src")
+      Files.copy(Paths.get(s"$dir/documents.parquet"), src.resolve("documents-0.parquet"))
+      val store = graft.snapshot.SnapshotStore(
+        Files.createTempDirectory("graft-qstream-store").toString)
+      val table = store.table("clean_documents")
+      val ckpt = Files.createTempDirectory("graft-qstream-ckpt").toString
+      val q = graft.streaming.DocIngest.ingest(s, src.toString, table, ckpt)
+      q.awaitTermination(180000)
+      table.read(s).getOrElse(s.emptyDataFrame.select(lit("").as("text")).limit(0))
+        .select(col("text")).orderBy(col("text"))
+    }),
+
     // ---------------- text analysis: lang-id + quality (rows-only) ----------------
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -683,6 +705,30 @@ object SparkEntry {
          |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
          |   AND symbol_ratio <= 0.1 AND n_stop_types >= 2) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // the batch replay of the streaming ingest: distinct text (the stream
+    // dedups by xxhash64(text); equal up to 64-bit collisions) filtered by
+    // the same Gopher gates, returned as the kept text set
+    "q_stream_ingest" -> {
+      val allStops = sqlList(TextAnalysis.StopwordsByLang.values.flatten.toSeq.distinct)
+      s"""WITH d AS (SELECT DISTINCT text FROM documents),
+         |w AS (
+         |  SELECT text, list_filter(string_split(text, ' '), x -> x <> '') AS words
+         |  FROM d),
+         |m AS (
+         |  SELECT text,
+         |    len(words) AS n_words,
+         |    CAST(list_sum([length(x) FOR x IN words]) AS DOUBLE)
+         |      / greatest(len(words), 1) AS mean_word_len,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS symbol_ratio,
+         |    len(list_intersect(list_distinct([lower(x) FOR x IN words]), $allStops)) AS n_stop_types
+         |  FROM w)
+         |SELECT text FROM m
+         |WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |  AND symbol_ratio <= 0.1 AND n_stop_types >= 2
+         |ORDER BY text""".stripMargin
     },
 
     "q_token_topk" ->
