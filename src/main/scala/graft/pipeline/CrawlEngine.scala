@@ -84,6 +84,16 @@ final class CrawlEngine(
 
   @transient private val store = SnapshotStore(storeRoot)
   @transient val seenT: SnapshotTable = store.table("seen")
+
+  /** Bucket count for the seen table's storage layout: pinned by any
+    * existing bucketed commit (manifest registry — append compatibility
+    * across sessions beats re-deriving it from session conf), else the
+    * session's shuffle parallelism.
+    */
+  @transient private lazy val seenBuckets: Int =
+    seenT.currentSnapshot.flatMap(_.dirBuckets).flatMap(_.values.headOption)
+      .map(_.split(":", 2)(0).toInt)
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
   @transient val linksT: SnapshotTable = store.table("links")
   @transient val docsT: SnapshotTable = store.table("documents")
   @transient val imagesT: SnapshotTable = store.table("images")
@@ -197,7 +207,9 @@ final class CrawlEngine(
             .groupBy($"bucket").agg(expr(s"bloom_agg(href, $nb, 7)").as("bits"))
         case None => emptyBloomDf
       }
-      bloomT.replace(df, lastCommittedGeneration,
+      // stored bucketed on the bucket key: every later merge/probe join
+      // reads the tier with no exchange on the stored side
+      bloomT.replaceBucketed(df, lastCommittedGeneration, bloomBuckets, "bucket",
         Map("capacity" -> capacity, "num_blocks" -> nb.toLong))
     }
   }
@@ -226,8 +238,7 @@ final class CrawlEngine(
       .drop("bucket", "bits")
     val defNew = probed.filter(!$"maybe_seen").drop("maybe_seen")
     val maybe0 = probed.filter($"maybe_seen").drop("maybe_seen")
-    val (maybe, seenSide) = semiFilteredSeen(maybe0, "url", seenDf, expectedRows, caches)
-    defNew.unionByName(maybe.join(seenSide, Seq("url"), "left_anti"))
+    defNew.unionByName(exactNotInSeen(maybe0, "url", seenDf, expectedRows, caches))
   }
 
   /** The runtime semi-filter trade shared by EVERY exact anti-join against
@@ -246,17 +257,72 @@ final class CrawlEngine(
                                expectedRows: Long,
                                caches: scala.collection.mutable.ArrayBuffer[Dataset[_]])
   : (DataFrame, DataFrame) = {
+    val (m, mBloomOpt) = maybeSemiBloom(maybe0, urlCol, expectedRows, caches)
+    mBloomOpt match {
+      case Some(mBloom) =>
+        (m, seenDf.select($"href".as(urlCol)).join(broadcast(mBloom))
+          .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
+          .select(col(urlCol)))
+      case None => (m, seenDf.select($"href".as(urlCol)))
+    }
+  }
+
+  /** The semi-filter's gating/sizing half, shared with the bucketed chain:
+    * persist the maybe side and aggregate a one-row bloom over its
+    * `urlCol` when the seen table is big enough to pay and the bloom fits
+    * the broadcast budget. Returns (maybe — possibly persisted into
+    * `caches`, optional bloom row).
+    */
+  private def maybeSemiBloom(maybe0: DataFrame, urlCol: String, expectedRows: Long,
+                             caches: scala.collection.mutable.ArrayBuffer[Dataset[_]])
+  : (DataFrame, Option[DataFrame]) = {
     val nbM = BlockedBloom.blocksFor(math.max(1L, expectedRows), bloomBitsPerKey)
     val maybeBloomBytes = nbM.toLong * 64 + 64
     if (seenT.currentSnapshot.exists(_.rowCount >= seenSemiFilterRows) &&
       maybeBloomBytes <= tierBroadcastBytes) {
       val m = maybe0.persist(StorageLevel.MEMORY_AND_DISK)
       caches += m
-      val mBloom = m.agg(expr(s"bloom_agg(`$urlCol`, $nbM, 7)").as("mbits"))
-      (m, seenDf.select($"href".as(urlCol)).join(broadcast(mBloom))
-        .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
-        .select(col(urlCol)))
-    } else (maybe0, seenDf.select($"href".as(urlCol)))
+      (m, Some(m.agg(expr(s"bloom_agg(`$urlCol`, $nbM, 7)").as("mbits"))))
+    } else (maybe0, None)
+  }
+
+  /** Exact "not in seen" — the membership authority behind every tier.
+    * When the seen table is stored BUCKETED by href (the default layout
+    * from this round on — [[graft.snapshot.SnapshotTable.appendBucketed]]),
+    * the join runs as a storage-partitioned anti-join CHAIN: one SMJ anti
+    * per bucketed commit dir, each seen-side scan read bucket-aligned with
+    * NO exchange; the probe side is shuffled to the bucket partitioning
+    * once and the chain reuses it (set difference is associative:
+    * p \ (s₀∪s₁∪…) = ((p \ s₀) \ s₁) \ …). The maybe-side runtime bloom
+    * still pre-shrinks each chunk scan (filters preserve the scan's
+    * partitioning). Chain length = bucketed dirs since the last
+    * compaction — [[maintain]]'s compact folds them to one — and is capped
+    * at `maxSeenChainDirs`, past which (or for legacy/mixed layouts) the
+    * semi-filtered single anti-join remains the fallback.
+    */
+  private val maxSeenChainDirs = 24
+  private def exactNotInSeen(maybe0: DataFrame, urlCol: String, seenDf: DataFrame,
+                             expectedRows: Long,
+                             caches: scala.collection.mutable.ArrayBuffer[Dataset[_]])
+  : DataFrame = {
+    val chunks = seenT.readCommitChunks(spark).getOrElse(Seq.empty)
+    if (chunks.nonEmpty && chunks.size <= maxSeenChainDirs &&
+      seenT.bucketSpec.exists(_._2 == "href")) {
+      val (maybe, mBloomOpt) = maybeSemiBloom(maybe0, urlCol, expectedRows, caches)
+      chunks.foldLeft(maybe) { (acc, ch) =>
+        val sel = ch.select($"href".as(urlCol))
+        val filtered = mBloomOpt match {
+          case Some(mb) => sel.join(broadcast(mb))
+            .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
+            .select(col(urlCol))
+          case None => sel
+        }
+        acc.join(filtered, Seq(urlCol), "left_anti")
+      }
+    } else {
+      val (maybe, seenSide) = semiFilteredSeen(maybe0, urlCol, seenDf, expectedRows, caches)
+      maybe.join(seenSide, Seq(urlCol), "left_anti")
+    }
   }
 
   def lastCommittedGeneration: Int =
@@ -465,9 +531,7 @@ final class CrawlEngine(
         // ~|maybe| rows before the exchange; the persist also keeps the
         // dedup window + tier joins from executing twice per generation
         // (bloom aggregation AND anti-join both consume the maybe side).
-        val (maybe, seenSide) =
-          semiFilteredSeen(maybe0, "href", seenDf, nCandidates, genCaches)
-        defNew.unionByName(maybe.join(seenSide, Seq("href"), "left_anti"))
+        defNew.unionByName(exactNotInSeen(maybe0, "href", seenDf, nCandidates, genCaches))
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- P4: relevance gate (deterministic 2-of-3 vote) ----------------
@@ -639,7 +703,12 @@ final class CrawlEngine(
       if (timing) println(f"[gen $round]   commit:$name%-12s ${(System.nanoTime() - t) / 1e9}%6.2fs")
       r
     }
-    val seenF = timedF("seen")(seenT.append(seenDelta, round))
+    // seen is stored BUCKETED by href (one file per bucket per commit):
+    // [[exactNotInSeen]] reads it back bucket-aligned so the anti-join's
+    // seen side never exchanges. The bucket count is pinned by the first
+    // bucketed commit (manifest registry) so later generations stay
+    // join-compatible even if the session's shuffle partitioning changes.
+    val seenF = timedF("seen")(seenT.appendBucketed(seenDelta, round, seenBuckets, "href"))
     val linksF = timedF("links")(linksT.append(kept.toDF(), round))
     val pdfF = timedF("pdf")(pdfT.append(
       pdfLinks.select($"href".as("url"), lit(round).as("generation")).coalesce(4), round))
@@ -654,12 +723,21 @@ final class CrawlEngine(
         // bloom buffers to the task's own buckets
         .repartition($"bucket")
         .groupBy($"bucket").agg(expr(s"bloom_agg(href, $bloomNb, 7)").as("bits"))
-      val merged = bloomT.read(spark).getOrElse(emptyBloomDf)
+      // the stored tier is read back through its storage bucketing (replace
+      // commits keep it a single bucketed dir), so the full-outer merge
+      // join reads the stored side bucket-aligned — the delta side alone
+      // exchanges. At the 10^10 design point the stored tier is ~15 GB;
+      // re-exchanging it every generation was the remaining fixed O(tier)
+      // shuffle in the commit window.
+      val storedBloom = bloomT.readCommitChunks(spark) match {
+        case Some(Seq(single)) => single
+        case _ => bloomT.read(spark).getOrElse(emptyBloomDf)
+      }
+      val merged = storedBloom
         .select($"bucket", $"bits".as("ob"))
         .join(deltaBloom.select($"bucket", $"bits".as("db")), Seq("bucket"), "full_outer")
         .select($"bucket", expr("bloom_or(ob, db)").as("bits"))
-        .coalesce(4) // bloomBuckets rows total: a few fat files, not 1-row-per-file
-      bloomT.replace(merged, round,
+      bloomT.replaceBucketed(merged, round, bloomBuckets, "bucket",
         Map("capacity" -> bloomCap, "num_blocks" -> bloomNb.toLong))
     }
     // cuckoo-tier maintenance (same window): each tracked host's filter must

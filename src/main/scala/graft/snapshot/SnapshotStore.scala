@@ -29,13 +29,21 @@ import scala.jdk.CollectionConverters._
   */
 final case class DataFileMeta(path: String, rows: Long)
 
+/** `dirBuckets`: storage-bucketing registry for the snapshot's data dirs —
+  * maps a commit dir name ("s3") to "numBuckets:bucketCol" when that dir
+  * was written with [[SnapshotTable.appendBucketed]]. Carried forward (and
+  * pruned to still-referenced dirs) on every commit so the info survives
+  * manifest vacuuming; absent for plain commits and pre-bucketing
+  * manifests (json4s reads the missing field as None).
+  */
 final case class SnapshotMeta(
     snapshotId: Long,
     parentId: Long, // -1 = none
     generation: Int,
     files: List[DataFileMeta],
     rowCount: Long,
-    counters: Map[String, Long])
+    counters: Map[String, Long],
+    dirBuckets: Option[Map[String, String]] = None)
 
 final class SnapshotTable(val root: Path, val name: String) {
   private implicit val formats: Formats = DefaultFormats
@@ -84,20 +92,67 @@ final class SnapshotTable(val root: Path, val name: String) {
     * + new files. Returns the committed snapshot.
     */
   def append(df: DataFrame, generation: Int, counters: Map[String, Long] = Map.empty): SnapshotMeta =
-    commit(df, generation, counters, replace = false)
+    commit(df, generation, counters, replace = false, bucketed = None)
 
   /** Replace commit: new snapshot's data = df alone (used for compacted
     * state tables like host_state where the new state supersedes the old).
     */
   def replace(df: DataFrame, generation: Int, counters: Map[String, Long] = Map.empty): SnapshotMeta =
-    commit(df, generation, counters, replace = true)
+    commit(df, generation, counters, replace = true, bucketed = None)
 
-  private def commit(df: DataFrame, generation: Int, counters: Map[String, Long], replace: Boolean): SnapshotMeta = {
+  /** Append commit whose data files are STORAGE-BUCKETED: rows are hash-
+    * partitioned on `bucketCol` into `buckets` files, written through
+    * Spark's bucketed-table writer so each file carries its bucket id in
+    * its name, and the spec is recorded in the manifest ([[SnapshotMeta]]
+    * `dirBuckets`). [[readCommitChunks]] then reconstructs scans whose
+    * `outputPartitioning` Catalyst TRUSTS — a join keyed on `bucketCol`
+    * reads this side with no Exchange (the Iceberg storage-partitioned-
+    * join shape, SURVEY §4.3). `bucketCol` must be a stored column
+    * (typically a persisted xxhash64 of the logical key so probe sides can
+    * recompute it).
+    */
+  def appendBucketed(df: DataFrame, generation: Int, buckets: Int, bucketCol: String,
+                     counters: Map[String, Long] = Map.empty): SnapshotMeta =
+    commit(df, generation, counters, replace = false, bucketed = Some((buckets, bucketCol)))
+
+  /** [[replace]] with storage-bucketed data files (see [[appendBucketed]]). */
+  def replaceBucketed(df: DataFrame, generation: Int, buckets: Int, bucketCol: String,
+                      counters: Map[String, Long] = Map.empty): SnapshotMeta =
+    commit(df, generation, counters, replace = true, bucketed = Some((buckets, bucketCol)))
+
+  private def commit(df: DataFrame, generation: Int, counters: Map[String, Long],
+                     replace: Boolean, bucketed: Option[(Int, String)]): SnapshotMeta = {
     Files.createDirectories(snapDir)
     val parent = currentSnapshot
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
     val dataDir = tableDir.resolve(s"data/s$id")
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    bucketed match {
+      case Some((n, bc)) =>
+        // bucketed layout WITHOUT the bucketed-table writer: repartition on
+        // the SAME hash function the bucket reader assumes (repartition's
+        // HashPartitioning and Spark's bucket-id expression are both
+        // pmod(murmur3(col), n)), write plain parquet — partition index i
+        // then holds exactly bucket i's rows — and stamp the bucket id into
+        // each file name in the `_NNNNN` form BucketingUtils parses. The
+        // saveAsTable route produced identical files but paid catalog DDL +
+        // managed-committer overhead PER COMMIT (~2 s on the generation
+        // commit path, measured).
+        df.repartition(n, org.apache.spark.sql.functions.col(bc))
+          .write.mode("overwrite").parquet(dataDir.toString)
+        val partRe = "part-(\\d+)-".r
+        listParquet(dataDir).foreach { p =>
+          val nm = p.getFileName.toString
+          partRe.findFirstMatchIn(nm).foreach { m =>
+            val dot = nm.indexOf('.')
+            val stem = if (dot < 0) nm else nm.substring(0, dot)
+            val ext = if (dot < 0) "" else nm.substring(dot)
+            Files.move(p, p.resolveSibling(s"${stem}_${m.group(1)}$ext"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      case None =>
+        df.write.mode("overwrite").parquet(dataDir.toString)
+    }
     // footer row counts read in parallel: a generation at N shuffle
     // partitions writes N part files per table — serial footer opens were
     // an O(partitions) driver-side cost that grew with parallelism and ate
@@ -112,14 +167,92 @@ final class SnapshotTable(val root: Path, val name: String) {
         Duration.Inf)
     }
     val files = (if (replace) Nil else parent.map(_.files).getOrElse(Nil)) ++ newFiles
+    // carry the bucket registry forward, pruned to dirs still referenced
+    val liveDirs = files.map(f => Paths.get(f.path).getParent.getFileName.toString).toSet
+    val carried = (if (replace) Map.empty[String, String]
+                   else parent.flatMap(_.dirBuckets).getOrElse(Map.empty))
+      .filter { case (d, _) => liveDirs(d) }
+    val dirB = carried ++ bucketed.map { case (n, bc) => s"s$id" -> s"$n:$bc" }.toMap
     val meta = SnapshotMeta(id, parent.map(_.snapshotId).getOrElse(-1L), generation,
-      files, files.map(_.rows).sum, counters)
+      files, files.map(_.rows).sum, counters,
+      if (dirB.isEmpty) None else Some(dirB))
     Files.writeString(snapDir.resolve(s"snapshot-$id.json"), Serialization.write(meta))
     // atomic pointer flip — the actual commit point
     val tmp = tableDir.resolve(s".current.tmp$id")
     Files.writeString(tmp, id.toString)
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     meta
+  }
+
+  /** The single storage-bucket spec of the CURRENT snapshot, when every
+    * data dir was bucketed with the same (buckets, col) — the condition
+    * under which a chunk chain shares one probe-side exchange.
+    */
+  def bucketSpec: Option[(Int, String)] = currentSnapshot.flatMap { cur =>
+    val dirs = cur.files.map(f => Paths.get(f.path).getParent.getFileName.toString).distinct
+    val reg = cur.dirBuckets.getOrElse(Map.empty)
+    val specs = dirs.map(reg.get).distinct
+    specs match {
+      case List(Some(s)) =>
+        val Array(n, bc) = s.split(":", 2)
+        Some((n.toInt, bc))
+      case _ => None
+    }
+  }
+
+  /** Current data as one DataFrame PER COMMIT DIR, each reconstructed with
+    * its storage bucketing where the manifest records one ([[SnapshotMeta]]
+    * `dirBuckets`): the scan of a bucketed dir reports
+    * `HashPartitioning(bucketCol, n)`, so joins keyed on the bucket column
+    * need NO exchange on that side. Dirs without a recorded spec fall back
+    * to plain scans (correct, just exchange-paying). None when the table is
+    * empty. Chunk order: oldest dir first.
+    */
+  def readCommitChunks(spark: SparkSession): Option[Seq[DataFrame]] =
+    currentSnapshot.filter(_.files.nonEmpty).map { cur =>
+      val reg = cur.dirBuckets.getOrElse(Map.empty)
+      cur.files.groupBy(f => Paths.get(f.path).getParent).toSeq
+        .sortBy(_._1.getFileName.toString.stripPrefix("s").toLong)
+        .map { case (dir, files) =>
+          reg.get(dir.getFileName.toString) match {
+            case Some(spec) =>
+              val Array(n, bc) = spec.split(":", 2)
+              bucketedScan(spark, dir, n.toInt, bc)
+            case None => spark.read.parquet(files.map(_.path): _*)
+          }
+        }
+    }
+
+  /** Register-and-scan a bucketed data dir through the session catalog:
+    * CREATE TABLE ... CLUSTERED BY is the only public surface through
+    * which a file scan reports bucket partitioning. The table is EXTERNAL
+    * (LOCATION) — drop never touches data files — and re-created on every
+    * call so the file listing is never stale across commits/rollbacks that
+    * reuse a dir name.
+    */
+  private val bucketedScanCache =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
+
+  private def bucketedScan(spark: SparkSession, dir: Path, n: Int, bc: String): DataFrame = {
+    // committed dirs are immutable, so a registration is reusable for the
+    // table's lifetime — keyed by the dir's current file listing so a
+    // rollback-then-recommit that reuses the dir NAME with different files
+    // re-registers (DROP first) instead of serving a stale catalog listing.
+    // Without the cache every generation pays footer-read + DDL per dir per
+    // read site.
+    val listing = listParquet(dir).map(_.getFileName.toString).mkString(",")
+    val key = s"${System.identityHashCode(spark)}#$dir#$n#$bc#${listing.hashCode}"
+    bucketedScanCache.synchronized {
+      bucketedScanCache.getOrElseUpdate(key, {
+        val ident = s"graft_b_${name}_${dir.getFileName}_" +
+          java.lang.Integer.toHexString(dir.toString.hashCode)
+        val schemaDdl = spark.read.parquet(dir.toString).schema.toDDL
+        spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+        spark.sql(s"CREATE TABLE `$ident` ($schemaDdl) USING parquet " +
+          s"CLUSTERED BY (`$bc`) SORTED BY (`$bc`) INTO $n BUCKETS LOCATION '$dir'")
+        spark.table(ident)
+      })
+    }
   }
 
   /** Rows added by this commit relative to its parent (free from the
@@ -161,14 +294,25 @@ final class SnapshotTable(val root: Path, val name: String) {
     */
   def compact(spark: SparkSession, targetFileBytes: Long = 128L << 20): Option[SnapshotMeta] =
     currentSnapshot.filter(_.files.nonEmpty).flatMap { cur =>
-      val totalBytes = cur.files.map(f =>
-        try Files.size(Paths.get(f.path)) catch { case _: Exception => 0L }).sum
-      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      if (cur.files.size <= nFiles) None
-      else {
-        val df = spark.read.parquet(cur.files.map(_.path): _*)
-        // coalesce, not repartition: compaction is an IO rewrite, no shuffle
-        Some(replace(df.coalesce(nFiles), cur.generation, cur.counters))
+      bucketSpec match {
+        case Some((n, bc)) =>
+          // bucketed table: fold k commit dirs × n files into ONE dir × n
+          // files, preserving the bucket layout (the rewrite shuffles on the
+          // bucket column — the price of keeping exchange-free reads)
+          val nDirs = cur.files.map(f => Paths.get(f.path).getParent).distinct.size
+          if (nDirs <= 1) None
+          else Some(replaceBucketed(spark.read.parquet(cur.files.map(_.path): _*),
+            cur.generation, n, bc, cur.counters))
+        case None =>
+          val totalBytes = cur.files.map(f =>
+            try Files.size(Paths.get(f.path)) catch { case _: Exception => 0L }).sum
+          val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+          if (cur.files.size <= nFiles) None
+          else {
+            val df = spark.read.parquet(cur.files.map(_.path): _*)
+            // coalesce, not repartition: compaction is an IO rewrite, no shuffle
+            Some(replace(df.coalesce(nFiles), cur.generation, cur.counters))
+          }
       }
     }
 

@@ -186,6 +186,70 @@ class PlanSpec extends AnyFunSuite {
   private def tempDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
 
+  test("seen anti-join reads the bucketed store with NO exchange on the seen side") {
+    import graft.pipeline.CrawlEngine
+    import graft.synth.WebConfig
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // static plans (no AQE re-plan) + no size-based auto-broadcast: the only
+    // way the anti-join's seen side avoids an exchange is the STORAGE
+    // bucketing the snapshot layer reconstructs
+    val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val beforeBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      // 2 generations: generation 2's candidate dedup anti-joins the seen
+      // rows generation 1 committed (bucketed by href)
+      val eng = new CrawlEngine(spark, WebConfig(seed = 42, nHosts = 30, resultsPerPage = 6),
+        tempDir("bucketed-seen"), batchSize = 2)
+      eng.run((1 to 4).map(i => s"singapore topic $i query"))
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(300)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      // the anti-join sits inside newLinks' persisted InMemoryRelation —
+      // plan.collect does not descend into cached plans, so expand them
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def expand(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case imts: InMemoryTableScanExec => imts +: expand(imts.relation.cachedPlan)
+          case n => Seq(n)
+        }
+      val aligned = plans.synchronized(plans.exists(p => expand(p).exists {
+        case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" =>
+          val seenScans = j.right.collect {
+            case s: FileSourceScanExec
+              if s.tableIdentifier.exists(_.table.startsWith("graft_b_seen")) => s
+          }
+          val exchanges = j.right.collect { case e: ShuffleExchangeExec => e }
+          seenScans.nonEmpty && seenScans.forall(_.bucketedScan) && exchanges.isEmpty
+        case _ => false
+      }))
+      assert(aligned, "expected at least one LEFT ANTI SortMergeJoin whose seen side is a " +
+        "bucketed graft_b_seen scan with zero shuffle exchanges below it")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", beforeAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", beforeBc)
+    }
+  }
+
   test("crawl generation plan: dedup anti-join reuses the href hash partitioning") {
     // the first-seen window partitions by href; the following anti-join on
     // href must not introduce a second exchange of the candidate stream

@@ -70,6 +70,60 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(t.compact(spark, targetFileBytes = 1L << 30).isEmpty)
   }
 
+  test("bucketed commits: per-dir bucket registry, chunked bucket-aligned reads, bucket-preserving compact") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val t = freshTable("bucketed")
+    def rows(g: Int) = (1 to 100).map(i => (g * 1000 + i).toLong).toDF("id")
+      .select(xxhash64(col("id")).as("h"), col("id"))
+    val m1 = t.appendBucketed(rows(1), 1, buckets = 4, bucketCol = "h")
+    assert(m1.dirBuckets.contains(Map("s0" -> "4:h")))
+    // one file per bucket (the repartition aligned tasks to buckets)
+    assert(m1.files.size == 4, s"expected 4 bucket files, got ${m1.files.size}")
+    val m2 = t.appendBucketed(rows(2), 2, buckets = 4, bucketCol = "h")
+    assert(m2.dirBuckets.contains(Map("s0" -> "4:h", "s1" -> "4:h")))
+    assert(t.bucketSpec.contains((4, "h")))
+
+    // chunked read: one chunk per commit dir, each reporting bucketing —
+    // a self-join on the bucket column plans with NO exchange on that side
+    val chunks = t.readCommitChunks(spark).get
+    assert(chunks.size == 2)
+    assert(chunks.map(_.count()).sum == 200)
+    assert(t.read(spark).get.count() == 200, "plain read still works on bucketed dirs")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // join keys == bucket columns exactly: Spark requires ALL cluster
+      // keys to match the bucket spec for co-partitioning
+      val joined = chunks.head.as("a").join(chunks.head.as("b"), Seq("h"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket-aligned self-join must plan zero shuffle exchanges:\n$plan")
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // compact folds the dirs but PRESERVES the bucket layout
+    val mc = t.compact(spark).get
+    assert(mc.files.size == 4 && mc.rowCount == 200)
+    assert(t.bucketSpec.contains((4, "h")))
+    assert(t.readCommitChunks(spark).get.size == 1)
+    assert(t.read(spark).get.select("id").as[Long].collect().toSet ==
+      ((1 to 100).map(i => 1000L + i) ++ (1 to 100).map(i => 2000L + i)).toSet)
+    // compacted bucketed table: no-op
+    assert(t.compact(spark).isEmpty)
+  }
+
+  test("mixed bucketed/plain dirs: no table-level spec, chunked read falls back per dir") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val t = freshTable("mixed")
+    t.append((1 to 10).map(_.toLong).toDF("id")
+      .select(xxhash64(col("id")).as("h"), col("id")), 1)
+    t.appendBucketed((11 to 20).map(_.toLong).toDF("id")
+      .select(xxhash64(col("id")).as("h"), col("id")), 2, buckets = 4, bucketCol = "h")
+    assert(t.bucketSpec.isEmpty, "mixed dirs must not claim a uniform bucket spec")
+    val chunks = t.readCommitChunks(spark).get
+    assert(chunks.size == 2 && chunks.map(_.count()).sum == 20)
+  }
+
   test("vacuum expires history and deletes unreferenced data files; current chain unaffected") {
     val t = freshTable("vacuum")
     (1 to 4).foreach(g => t.append(Seq((g, s"v$g")).toDF("id", "v"), g))
