@@ -73,6 +73,27 @@ class SpanExtractorSpec extends AnyFunSuite {
     assert(ex.spans.exists(_.text.contains("±2° at ≈45‰")))
   }
 
+  test("HTML5-only single-codepoint entities decode like html.unescape; multi-codepoint names pass through") {
+    // names absent from HTML4: ngeqq (U+2271... actually U+2267+0338 is
+    // multi; use true singles), ShortRightArrow, varnothing, imath, bopf
+    // (astral plane U+1D553), semi, CenterDot — expected literals are the
+    // exact Python html.unescape values
+    val html =
+      """<title>x &ShortRightArrow; y &semi; z</title>
+        |<meta name="description" content="&varnothing; &imath; &CenterDot; &numero;">
+        |<p>board &bopf; and &DoubleRightTee; close the proof here with enough words to pass</p>""".stripMargin
+    val ex = SpanExtractor.extract(pageUrl, html)
+    assert(ex.pageTitle == "x → y ; z")
+    assert(ex.pageSummary == "∅ ı · №")
+    assert(ex.spans.exists(_.text.contains("board 𝕓 and ⊨ close")))
+    // the 93 multi-codepoint names are the DOCUMENTED coverage boundary
+    // (HtmlDom scaladoc): html.unescape would give "a ≧̸ b"; the engine
+    // passes the unrecognized name through verbatim — this pins the
+    // divergence so it can't silently widen
+    val ex2 = SpanExtractor.extract(pageUrl, "<title>a &NotGreaterFullEqual; b</title>")
+    assert(ex2.pageTitle == "a &NotGreaterFullEqual; b")
+  }
+
   test("implied end tags: table/dd/option content lands in the right cells") {
     val root = HtmlDom.parse(
       """<table>
