@@ -64,6 +64,38 @@ object FetchStream {
       .dropDuplicatesWithinWatermark("url")
       .select(col("url"), col("host"), col("event_time"))
 
+  final case class HostCount(host: String, n_scheduled: Long)
+
+  /** Cumulative per-host fetch counts as a stateful stream: state is ONE
+    * long per host (bounded by host count — the partitioning the whole
+    * engine is built around), and every micro-batch emits the updated
+    * cumulative count for each host that appeared in it. The LATEST row
+    * per host is exactly the statistic the batch engine's hot-host
+    * selection reads from host_state (`n_scheduled`,
+    * CrawlEngine.runGeneration's server-side top-k) — so a live dashboard
+    * or the tier-routing decision can ride the stream instead of waiting
+    * for the next generation commit.
+    */
+  def runningHostCounts(events: Dataset[FetchEvent]): Dataset[HostCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.host).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (host: String, evs: Iterator[FetchEvent], state: GroupState[Long]) => {
+        val n = state.getOption.getOrElse(0L) + evs.size
+        state.update(n)
+        Iterator(HostCount(host, n))
+      })
+  }
+
+  /** The top-k ranking over a sink of [[runningHostCounts]] updates: the
+    * latest (= maximum, counts are monotone) cumulative count per host,
+    * ranked (count desc, host) — the batch engine's hot-host tie-break.
+    */
+  def hotHostTopK(counts: DataFrame, k: Int): DataFrame =
+    counts.groupBy(col("host")).agg(max(col("n_scheduled")).as("n_scheduled"))
+      .orderBy(col("n_scheduled").desc, col("host")).limit(k)
+
   /** Stateful per-host audit: keeps the latest scheduled time per host,
     * emits a Violation for any pair of consecutive events closer than the
     * host's min delay. State is one long per host — bounded by host count,

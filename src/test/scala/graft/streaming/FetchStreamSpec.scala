@@ -64,6 +64,54 @@ class FetchStreamSpec extends AnyFunSuite {
     assert(urls.toSet == events.map(_.url).toSet)
   }
 
+  test("streaming hot-host top-k equals the batch statistic on a planted skew") {
+    // planted skew: one mega-host (25 events), a mid host (9), tail hosts
+    // (3 each) — spread across 3 files so the cumulative state must
+    // survive micro-batch boundaries to rank correctly
+    val skewed: Seq[FetchEvent] =
+      (0 until 25).map(i => FetchEvent(s"https://mega.example/p$i", "mega.example", 0, i * 200L, 100L, 1, 0)) ++
+        (0 until 9).map(i => FetchEvent(s"https://mid.example/p$i", "mid.example", 0, i * 200L, 100L, 1, 0)) ++
+        (0 until 4).flatMap(h => (0 until 3).map(i =>
+          FetchEvent(s"https://tail$h.example/p$i", s"tail$h.example", 0, i * 200L, 100L, 1, 0)))
+    val dir = Files.createTempDirectory("graft-stream-topk")
+    skewed.grouped(17).zipWithIndex.foreach { case (chunk, i) =>
+      val f = dir.resolve(s"$i")
+      chunk.toDS().toDF().coalesce(1).write.parquet(f.toString)
+    }
+    // flatten the part files into one stream dir, preserving chunk order
+    val src = Files.createTempDirectory("graft-stream-topk-src")
+    (0 until 3).foreach { i =>
+      val s = Files.list(dir.resolve(s"$i"))
+      val part = try s.filter(_.toString.endsWith(".parquet")).findFirst().get() finally s.close()
+      val f = src.resolve(f"$i%02d.parquet")
+      Files.copy(part, f)
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(1_000_000L * (i + 1)))
+    }
+
+    val schema = org.apache.spark.sql.Encoders.product[FetchEvent].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      .as[FetchEvent]
+    val counts = FetchStream.runningHostCounts(stream)
+    val qname = s"hot_hosts_${System.nanoTime()}"
+    val q = counts.toDF().writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamTopK = FetchStream.hotHostTopK(spark.table(qname), 3)
+      .as[(String, Long)].collect().toSeq
+    val batchTopK = skewed.toDS().toDF()
+      .groupBy($"host").agg(count(lit(1)).as("n_scheduled"))
+      .orderBy($"n_scheduled".desc, $"host").limit(3)
+      .as[(String, Long)].collect().toSeq
+    assert(streamTopK == batchTopK)
+    assert(streamTopK.head == ("mega.example", 25L), s"planted skew must rank first: $streamTopK")
+    // cumulative state crossed micro-batch boundaries: mega's final count
+    // (25) exceeds any single file's contribution (17-row chunks)
+    assert(spark.table(qname).filter($"host" === "mega.example").count() > 1,
+      "mega must have emitted updates in more than one micro-batch")
+  }
+
   test("stateful politeness audit flags exactly the planted violations") {
     val ds = events.toDS()
     val violations = FetchStream.politenessAudit(ds).collect().toSeq
