@@ -534,6 +534,17 @@ object Bench {
     val fullAttempts = math.max(1, sys.env.getOrElse("BENCH_FULL_ATTEMPTS", "2").toInt)
     val fullBudgetSec = sys.env.getOrElse("BENCH_FULL_BUDGET_SEC", "300").toLong
     val fullCtls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Full-width undershoot guard (mirrors the lo-leg calibration logic):
+    // the leg inherits the LO-calibrated workload, which the full width
+    // finishes in ~1/8th the wall — deep in the per-generation fixed-cost
+    // floor (~7 s of commit/driver latency a real 10^8-URL generation
+    // amortizes away), so the recorded urls/s was workload-size-, not
+    // engine-, bound. If the first attempt's wall lands under 0.7× the
+    // full-width target wall, rescale the workload from the measured wall
+    // and restart the attempts (same regime-preserving sizedCfg scaling).
+    val fullTargetSec = sys.env.getOrElse("BENCH_FULL_TARGET_SEC", "40").toDouble
+    var qFull = finalQ
+    var fullResized = false
     var full: CrawlResult = null
     var fullCtl = 0.0
     var fullSkipped = 0
@@ -552,11 +563,25 @@ object Bench {
       } else {
         fa += 1
         System.gc()
-        val r = crawlBench(cpus, finalQ, batchOf(finalQ), sizedCfg(finalQ))
-        fullCtls += wCtl
-        System.err.println(f"[bench] full-width($cpus) attempt $fa: wall=${r.wallSec}%.1fs " +
-          f"urls/s=${r.urlsPerSec}%.1f (mem-ctl $wCtl%.3f)")
-        if (full == null || r.urlsPerSec > full.urlsPerSec) { full = r; fullCtl = wCtl }
+        val r = crawlBench(cpus, qFull, batchOf(qFull), sizedCfg(qFull))
+        if (fa == 1 && !fullResized && fullTargetSec > 0 && r.wallSec < 0.7 * fullTargetSec) {
+          fullResized = true
+          val nq = math.max(qFull,
+            math.min(20000, ((fullTargetSec / (r.wallSec / qFull)) / 500.0).round.toInt * 500))
+          if (nq > qFull) {
+            System.err.println(f"[bench] full-width recalibrate: wall ${r.wallSec}%.1fs < 0.7x " +
+              f"target $fullTargetSec%.0fs -> workload $nq queries (was $qFull); restarting attempts")
+            qFull = nq
+            fa = 0
+            full = null; fullCtl = 0.0; fullCtls.clear()
+          }
+        }
+        if (fa > 0) { // not reset by a resize
+          fullCtls += wCtl
+          System.err.println(f"[bench] full-width($cpus) attempt $fa: wall=${r.wallSec}%.1fs " +
+            f"urls/s=${r.urlsPerSec}%.1f (mem-ctl $wCtl%.3f, queries $qFull)")
+          if (full == null || r.urlsPerSec > full.urlsPerSec) { full = r; fullCtl = wCtl }
+        }
       }
     }
 
@@ -566,6 +591,6 @@ object Bench {
       rs.map(r => f"""{"wall_sec":${r.wallSec}%.1f,"urls_per_sec":${r.urlsPerSec}%.1f}""")
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"mem_ctl_chosen_pair":$chosenCtl%.3f,"mem_ctl_full":$fullCtl%.3f,"full_attempts_ctl":${fullCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":${full.urlsPerSec}%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_queries_sec":$totalQ%.1f,"crawl":{"cores_full":$cpus,"throughput_full":${full.urlsPerSec}%.1f,"wall_full_sec":${full.wallSec}%.1f,"cores_lo":$lo,"cores_hi":$hiCrawl,"throughput_lo":${loRes.urlsPerSec}%.1f,"throughput_hi":${hiRes.urlsPerSec}%.1f,"candidates_per_sec_lo":${loRes.candidatesPerSec}%.1f,"candidates_per_sec_hi":${hiRes.candidatesPerSec}%.1f,"wall_lo_sec":${loRes.wallSec}%.1f,"wall_hi_sec":${hiRes.wallSec}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_bestof":$effBestOf%.3f,"mem_ctl_chosen_pair":$chosenCtl%.3f,"mem_ctl_full":$fullCtl%.3f,"full_attempts_ctl":${fullCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"cpu_control_eff":$controlEff%.3f,"mem_control_eff":$memControl%.3f,"attempts":$attempts,"attempts_lo":${attemptsJson(loAll)},"attempts_hi":${attemptsJson(hiAll)},"attempts_mem_ctl":${attemptCtls.map(c => f"$c%.3f").mkString("[", ",", "]")},"urls_seen":${full.seen},"queries":$finalQ,"queries_full":$qFull,"results_per_page":${cfg.resultsPerPage},"pages":${cfg.pages},"hosts":${benchCfg.nHosts},"body_elems":${cfg.bodyElems}}}""")
   }
 }

@@ -20,14 +20,13 @@ import scala.collection.mutable.ArrayBuffer
   */
 object HtmlDom {
 
-  /** Named character references: the full HTML4 set (every name HTML5
-    * keeps with an identical value) — Latin-1, Latin Extended ligatures,
-    * Greek, general punctuation, letterlike, arrows, math operators,
-    * technical and geometric symbols (~250 names; numeric `&#..;` refs
-    * cover everything else, and semicolon-less legacy forms pass through
-    * verbatim by design). Stored as codepoints, expanded once; values match
-    * html.unescape (reference decode path) exactly — incl. lang/rang at
-    * the HTML5 mathematical-angle-bracket codepoints.
+  /** Named character references: the readable HTML4 core below (~250
+    * names — Latin-1, ligatures, Greek, punctuation, arrows, math;
+    * values match html.unescape exactly, incl. lang/rang at the HTML5
+    * mathematical-angle-bracket codepoints) merged with the packed
+    * [[Html5SingleCodepoint]] table for full single-codepoint HTML5
+    * coverage. Numeric `&#..;` refs cover the remainder; semicolon-less
+    * legacy forms pass through verbatim by design.
     */
   private val NamedRefs: Map[String, String] = {
     val cp: Seq[(String, Int)] = Seq(
