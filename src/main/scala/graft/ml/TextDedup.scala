@@ -344,10 +344,19 @@ object TextDedup {
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", maxHamming: Int = 6,
                         maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
-    val chunks = maxHamming + 1
-    val bounds = (0 to chunks).map(i => i * 64 / chunks)
     // codegen'd native simhash64 expression — one corpus scan, no ScalaUDF
     val withSh = docs.select(col(idCol).as("id"), simhash64Col(docs, textCol).as("sh"))
+    simhashBandedPairs(withSh, maxHamming, maxBucket, logDrops)
+  }
+
+  /** Banding + bucket self-join over an (id, sh) signature table — the body
+    * shared by [[simhashCandidates]] (signatures from a dedicated scan) and
+    * [[simhashNearDups]] (signatures rode the shared base scan).
+    */
+  private def simhashBandedPairs(withSh: DataFrame, maxHamming: Int,
+                                 maxBucket: Int, logDrops: Boolean): DataFrame = {
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val bandCols = (0 until chunks).map { c =>
       val lo = bounds(c)
       val width = bounds(c + 1) - lo
@@ -382,15 +391,29 @@ object TextDedup {
     * output hash-independent and oracle-checkable: docs at Jaccard ≥ 0.9
     * differ in a handful of tokens, each flipping E[·]≈3.6 of 64 SimHash
     * bits, so radius-`maxHamming` candidates cover them and the verified
-    * output equals the exhaustive exact-Jaccard pair set. The verify stage
-    * reads the shared materialized shingle base (no token re-explode).
+    * output equals the exhaustive exact-Jaccard pair set.
+    *
+    * ONE corpus scan: the simhash signature and the hashed-shingle set are
+    * computed in the same projection and materialized together, so the
+    * candidate generator (banding over `sh`) and the exact-verify stage
+    * (array_intersect over `toks`) share a single pass over the text — the
+    * separate-scans form paid the tokenize+hash cost twice. Restricting
+    * signatures to docs with ≥ `shingleSize` words only prunes candidates
+    * the verify's inner joins against the base would discard anyway.
     */
   def simhashNearDups(docs: DataFrame, jaccardThreshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxHamming: Int = 6, shingleSize: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
-    val cands = simhashCandidates(docs, idCol, textCol, maxHamming, maxBucket)
-    verifyJaccardOnBase(cands, shingleDocBase(docs, shingleSize, idCol, textCol), jaccardThreshold)
+    val words = filter(split(col(textCol), " "), t => t =!= "")
+    val base = parallelFloor(docs).where(size(words) >= shingleSize)
+      .select(col(idCol).as("id"), simhash64Col(docs, textCol).as("sh"),
+        array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
+          i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("toks"))
+      .localCheckpoint(false)
+    val cands = simhashBandedPairs(base.select($"id", $"sh"), maxHamming, maxBucket,
+      logDrops = true)
+    verifyJaccardOnBase(cands, base.select($"id", $"toks"), jaccardThreshold)
   }
 
   /** Connected components over near-dup candidate pairs → (doc_id, keep_id):
