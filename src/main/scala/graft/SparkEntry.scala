@@ -214,6 +214,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- incremental near-dup: delta vs corpus ----------------
+    // the per-ingest shape: new docs (the two planted branches) near-dup
+    // checked against the existing corpus AND each other, without a corpus
+    // self-join — equals the batch pair set over the union restricted to
+    // pairs touching the delta (the oracle applies exactly that filter;
+    // corpus-internal dup pairs exist in `documents` and must NOT appear)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzzplanted")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" zzzplanted2")).as("text")))
+      TextDedup.minhashNearDupsIncremental(d, delta, 0.8)
+        .select(col("a"), col("b")).orderBy(col("a"), col("b"))
+    }),
+
     // ---------------- embedding-cosine near-dup via LSH buckets ----------------
     // autoPlanes: the plane count grows with log2(corpus) so expected bucket
     // occupancy stays bounded at 100x data (scale-safe BY DEFAULT, not by
@@ -616,6 +634,16 @@ object SparkEntry {
     // for hamming<=6 and J>=0.9 docs sit within that radius on this corpus)
     "q_dedup_minhash" -> jaccardPairsSql(plantedAugSql, 0.8),
     "q_dedup_simhash" -> jaccardPairsSql(plantedAugSql, 0.9),
+
+    // batch pairs over the union, restricted to pairs touching the delta
+    // (ids >= 1000000) — the incremental operator's contracted output
+    "q_dedup_incremental" ->
+      s"""WITH ${jaccardCtes(clusterAugSql)}
+         |SELECT a, b
+         |FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8
+         |  AND (a >= 1000000 OR b >= 1000000)
+         |ORDER BY a, b""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE ${jaccardCtes(clusterAugSql)},

@@ -116,13 +116,22 @@ object TextDedup {
     * instead of once per stage.
     */
   def shingleDocBase(docs: DataFrame, shingleSize: Int,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleDocProjection(parallelFloor(docs), shingleSize, idCol, textCol)
+      .localCheckpoint(false)
+
+  /** The (id, toks) hashed-shingle projection WITHOUT materialization — the
+    * building block [[shingleDocBase]] checkpoints, and the form the
+    * incremental path uses for its corpus side (where a full-corpus
+    * checkpoint is exactly the thing to avoid).
+    */
+  private def shingleDocProjection(docs: DataFrame, shingleSize: Int,
+                                   idCol: String, textCol: String): DataFrame = {
     val words = filter(split(col(textCol), " "), t => t =!= "")
-    parallelFloor(docs).where(size(words) >= shingleSize)
+    docs.where(size(words) >= shingleSize)
       .select(col(idCol).as("id"),
         array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
           i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("toks"))
-      .localCheckpoint(false)
   }
 
   /** Exact Jaccard verification of candidate pairs against the shared base:
@@ -278,16 +287,7 @@ object TextDedup {
     */
   def minhashLshCandidatesFromBase(base: DataFrame, numHashes: Int = 32, bands: Int = 16,
                                    maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
-    val r = numHashes / bands
-    // single-pass native signature expression (bit-identical to
-    // [[minhashFromHashes]], which traverses the shingle array numHashes
-    // times and allocates an intermediate array per permutation per row)
-    graft.functions.expressions.GraftFunctions.register(base.sparkSession)
-    val sig = base.select($"id", expr(s"minhash_sigs(toks, $numHashes)").as("sig"))
-    val banded = sig.select($"id", explode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice($"sig", b * r + 1, lit(r)).as("bsig")))).as("bk"))
-      .select($"id", $"bk.band".as("band"), $"bk.bsig".as("bsig"))
+    val banded = minhashBanded(base, numHashes, bands)
     val counts = banded.groupBy($"band", $"bsig").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // one row per occupied bucket — small
     if (logDrops) {
@@ -301,6 +301,23 @@ object TextDedup {
       col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+  }
+
+  /** (id, band, bsig) banding rows over an (id, toks) base — the shared
+    * body of the batch self-join and the incremental delta-vs-corpus
+    * candidate generators. Signatures come from the single-pass native
+    * `minhash_sigs` expression (bit-identical to [[minhashFromHashes]],
+    * which traverses the shingle array numHashes times and allocates an
+    * intermediate array per permutation per row).
+    */
+  private def minhashBanded(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    graft.functions.expressions.GraftFunctions.register(base.sparkSession)
+    base.select($"id", expr(s"minhash_sigs(toks, $numHashes)").as("sig"))
+      .select($"id", explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice($"sig", b * r + 1, lit(r)).as("bsig")))).as("bk"))
+      .select($"id", $"bk.band".as("band"), $"bk.bsig".as("bsig"))
   }
 
   /** MinHash near-dups, exact-verified: LSH candidates filtered by the TRUE
@@ -317,6 +334,75 @@ object TextDedup {
     val base = shingleDocBase(docs, shingleSize, idCol, textCol)
     val cands = minhashLshCandidatesFromBase(base, numHashes, bands, maxBucket)
     verifyJaccardOnBase(cands, base, threshold)
+  }
+
+  /** Incremental MinHash near-dup detection: exact-verified pairs between a
+    * small DELTA of new documents and a large existing CORPUS (plus the
+    * delta's internal pairs) — the batch a training-data pipeline runs per
+    * ingest, where re-deduplicating the whole corpus against itself every
+    * day is the thing that does not survive 100 TB. Equals
+    * `minhashNearDups(corpus ∪ delta)` restricted to pairs touching the
+    * delta (pinned by spec); ids must be disjoint across the two inputs.
+    *
+    * Corpus-side cost is TWO pushdown-friendly scans and zero corpus-sized
+    * materializations or self-joins:
+    *   1. banding — each corpus row's band keys are semi-joined against the
+    *      delta's occupied bucket keys immediately, so only corpus rows
+    *      that could pair with a delta doc survive to pair expansion
+    *      (everything after the semi-join is delta-sized);
+    *   2. verify — the exact-Jaccard stage re-reads only candidate-pair
+    *      ids: the semi-join on id is applied to the RAW corpus before the
+    *      shingle projection (Catalyst's semi-pushdown does not move the
+    *      join below this projection on its own — verified on the plan),
+    *      so the corpus shingle pipeline runs a second time only for docs
+    *      that appear in some candidate pair.
+    * At deployment the banded corpus table would be PERSISTED bucketed by
+    * (band, bsig) — the same storage-partitioned design as the crawl
+    * engine's seen table — turning scan 1 into a bucket-pruned read; the
+    * operator's join shape is already that one.
+    *
+    * Bucket-cap semantics match the batch operator on every bucket the
+    * delta occupies (occupancy there counts corpus + delta rows, exactly
+    * as the batch union would); buckets the delta does not occupy cannot
+    * produce delta-touching pairs, so their batch-side shedding is
+    * irrelevant to the restricted equality.
+    */
+  def minhashNearDupsIncremental(corpus: DataFrame, delta: DataFrame, threshold: Double,
+                                 idCol: String = "doc_id", textCol: String = "text",
+                                 shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                                 maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
+    val baseD = shingleDocBase(delta, shingleSize, idCol, textCol)
+    val bandedD = minhashBanded(baseD, numHashes, bands).localCheckpoint(false)
+    val deltaKeys = bandedD.select($"band", $"bsig").distinct()
+    val corpusToks = shingleDocProjection(parallelFloor(corpus), shingleSize, idCol, textCol)
+    // delta-sized after the semi-join: only corpus rows in delta-occupied
+    // buckets can pair with a delta doc
+    val bandedC = minhashBanded(corpusToks, numHashes, bands)
+      .join(deltaKeys, Seq("band", "bsig"), "left_semi")
+      .localCheckpoint(false)
+    val all = bandedC.withColumn("isd", lit(false))
+      .unionByName(bandedD.withColumn("isd", lit(true)))
+    val counts = all.groupBy($"band", $"bsig").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // one row per delta-occupied bucket — small
+    if (logDrops) {
+      val big = counts.filter($"cnt" > maxBucket).count()
+      logDrop("minhash-incremental", s"buckets larger than $maxBucket", big)
+    }
+    val inBucket = all.join(
+      counts.filter($"cnt" > 1 && $"cnt" <= maxBucket).select($"band", $"bsig"),
+      Seq("band", "bsig"), "left_semi")
+    val cands = inBucket.as("x").join(inBucket.as("y"),
+      col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+        col("x.id") < col("y.id") && (col("x.isd") || col("y.isd")))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .localCheckpoint(false) // read twice below: the id set and the verify join
+    val candIds = cands.select($"a".as("id"))
+      .unionByName(cands.select($"b".as("id"))).distinct()
+    val corpusHits = corpus
+      .join(candIds.select($"id".as(idCol)), Seq(idCol), "left_semi")
+    val verifyBase = shingleDocProjection(parallelFloor(corpusHits), shingleSize, idCol, textCol)
+      .unionByName(baseD)
+    verifyJaccardOnBase(cands, verifyBase, threshold)
   }
 
   /** 64-bit SimHash kernel: weighted sign-sum of token hashes (Charikar,

@@ -82,7 +82,7 @@ class PlanSpec extends AnyFunSuite {
     // the per-document first stages of the dedup/fingerprint families are
     // native codegen'd expressions — a ScalaUDF reappearing here is a plan
     // regression (row-boxing boundary on the corpus-wide hot path)
-    Seq("q_dedup_simhash", "q_dedup_minhash", "q_fingerprint").foreach { q =>
+    Seq("q_dedup_simhash", "q_dedup_minhash", "q_dedup_incremental", "q_fingerprint").foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("ScalaUDF"), s"$q plan contains a ScalaUDF:\n$plan")
     }

@@ -145,6 +145,30 @@ class MlSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("incremental minhash equals the batch run restricted to delta-touching pairs") {
+    // corpus: the 60 base docs PLUS an internal corpus duplicate (id 500 =
+    // copy of doc 1) — the batch run pairs (1, 500), the incremental run
+    // must NOT surface it (it touches no delta doc). delta: the 6 planted
+    // near-copies plus 2 fresh unique docs that pair with nothing.
+    val rows = planted.as[(Long, String)].collect().toMap
+    val corpus = (rows.filterNot(_._1 >= 1000L).toSeq :+ (500L, rows(1L)))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (2000L, (0 until 50).map(j => s"f${graft.util.Hashing.bounded(graft.util.Hashing.det(9L, 1, j), 10000)}").mkString(" ")),
+      (2001L, (0 until 50).map(j => s"f${graft.util.Hashing.bounded(graft.util.Hashing.det(9L, 2, j), 10000)}").mkString(" ")))
+    val delta = (rows.filter(_._1 >= 1000L).toSeq ++ fresh).toDF("doc_id", "text")
+    val deltaIds = delta.as[(Long, String)].collect().map(_._1).toSet
+    val batch = TextDedup.minhashNearDups(corpus.unionByName(delta), 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val want = batch.filter { case (a, b) => deltaIds(a) || deltaIds(b) }
+    val got = TextDedup.minhashNearDupsIncremental(corpus, delta, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"incremental != restricted batch; extra=${got -- want} missing=${want -- got}")
+    assert(want == plantedPairs, "fixture sanity: delta-touching pairs are the planted ones")
+    assert(batch.contains((1L, 500L)), "fixture sanity: the corpus-internal dup pairs in batch mode")
+    assert(!got.contains((1L, 500L)), "corpus-internal pairs must not surface incrementally")
+  }
+
   test("simhash verified near-dups equal the exhaustive exact-jaccard pair set") {
     val exact = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.9)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
