@@ -73,9 +73,8 @@ class SpanExtractorSpec extends AnyFunSuite {
     assert(ex.spans.exists(_.text.contains("±2° at ≈45‰")))
   }
 
-  test("HTML5-only single-codepoint entities decode like html.unescape; multi-codepoint names pass through") {
-    // names absent from HTML4: ngeqq (U+2271... actually U+2267+0338 is
-    // multi; use true singles), ShortRightArrow, varnothing, imath, bopf
+  test("HTML5-only entities decode like html.unescape, incl. the multi-codepoint names") {
+    // names absent from HTML4: ShortRightArrow, varnothing, imath, bopf
     // (astral plane U+1D553), semi, CenterDot — expected literals are the
     // exact Python html.unescape values
     val html =
@@ -86,12 +85,12 @@ class SpanExtractorSpec extends AnyFunSuite {
     assert(ex.pageTitle == "x → y ; z")
     assert(ex.pageSummary == "∅ ı · №")
     assert(ex.spans.exists(_.text.contains("board 𝕓 and ⊨ close")))
-    // the 93 multi-codepoint names are the DOCUMENTED coverage boundary
-    // (HtmlDom scaladoc): html.unescape would give "a ≧̸ b"; the engine
-    // passes the unrecognized name through verbatim — this pins the
-    // divergence so it can't silently widen
-    val ex2 = SpanExtractor.extract(pageUrl, "<title>a &NotGreaterFullEqual; b</title>")
-    assert(ex2.pageTitle == "a &NotGreaterFullEqual; b")
+    // the 93 multi-codepoint names (the last named-reference gap, closed
+    // r5): combining-slash negations, the fj ligature, variant-selector
+    // forms — byte-identical to html.unescape
+    val ex2 = SpanExtractor.extract(pageUrl,
+      "<title>a &NotGreaterFullEqual; b &fjlig; c &nsubset; d &varsubsetneqq; e</title>")
+    assert(ex2.pageTitle == "a ≧̸ b fj c ⊂⃒ d ⫋︀ e")
   }
 
   test("implied end tags: table/dd/option content lands in the right cells") {
