@@ -399,7 +399,12 @@ object SparkEntry {
         Files.createTempDirectory("graft-qstream-store").toString)
       val table = store.table("clean_documents")
       val ckpt = Files.createTempDirectory("graft-qstream-ckpt").toString
-      val q = graft.streaming.DocIngest.ingest(s, src.toString, table, ckpt)
+      // statePartitions=8: the fixture drains one file per micro-batch, so
+      // per-batch state-store delta/snapshot IO (64 stores at the session's
+      // shuffle width) dominates the wall; 8 stores bound that fan-out while
+      // holding this horizon's hash keys comfortably
+      val q = graft.streaming.DocIngest.ingest(s, src.toString, table, ckpt,
+        statePartitions = Some(8))
       q.awaitTermination(180000)
       table.read(s).getOrElse(s.emptyDataFrame.select(lit("").as("text")).limit(0))
         .select(col("text")).orderBy(col("text"))

@@ -55,12 +55,27 @@ object DocIngest {
 
   /** Build the cleaned stream: dedup (watermark-bounded) + quality gates.
     * Exposed separately from [[ingest]] so tests can also sink it to memory.
+    *
+    * `statePartitions` sizes the dedup operator's state-store count — a
+    * per-query deployment choice (the checkpoint pins it for the query's
+    * lifetime), decoupled from the batch session's shuffle width via
+    * `newSession()` (shared SparkContext, own SQLConf). Size it to the
+    * horizon's expected key cardinality: each partition is one state store
+    * whose per-batch delta/snapshot files dominate wall time when the
+    * micro-batch is small, and whose memory bounds the partition's share of
+    * keys when it is not.
     */
   def cleanedStream(spark: SparkSession, srcDir: String,
                     watermark: String = "1 hour",
-                    maxFilesPerTrigger: Int = 1): DataFrame = {
+                    maxFilesPerTrigger: Int = 1,
+                    statePartitions: Option[Int] = None): DataFrame = {
+    val session = statePartitions.fold(spark) { n =>
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+      ss
+    }
     val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    val raw = spark.readStream.schema(schema)
+    val raw = session.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
     gated(
       raw.withColumn("content_hash", xxhash64(col("text")))
@@ -85,8 +100,9 @@ object DocIngest {
     */
   def ingest(spark: SparkSession, srcDir: String, table: SnapshotTable,
              checkpointDir: String, watermark: String = "1 hour",
-             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    cleanedStream(spark, srcDir, watermark)
+             trigger: Trigger = Trigger.AvailableNow(),
+             statePartitions: Option[Int] = None): StreamingQuery =
+    cleanedStream(spark, srcDir, watermark, statePartitions = statePartitions)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -24,7 +24,10 @@ class DocIngestSpec extends AnyFunSuite {
     val table = store.table("clean_documents")
     val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
 
-    val q = DocIngest.ingest(spark, srcDir, table, ckpt)
+    // statePartitions exercises the newSession state-sizing path: the
+    // stream (and its foreachBatch commits) run on a child session whose
+    // shuffle width differs from the test session's
+    val q = DocIngest.ingest(spark, srcDir, table, ckpt, statePartitions = Some(4))
     q.awaitTermination(120000)
 
     val streamed = table.read(spark).getOrElse(fail("no data ingested"))
