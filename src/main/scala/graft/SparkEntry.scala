@@ -339,6 +339,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---------------- greedy sequence packing (training-batch construction) ----------------
+    // docs walked in doc_id order within (source, salt) streams, greedily
+    // packed into 256-token bins; the sequential walk runs as the native
+    // greedy_pack expression over each group's collected 12-byte pairs
+    "q_seq_pack" -> ((s, dir) => {
+      TextAnalysis.packBins(t(s, dir, "documents"), capacity = 256, saltBuckets = 4)
+        .withColumn("n_docs", col("n_docs").cast("long"))
+        .orderBy(col("source"), col("salt"), col("bin_id"))
+    }),
+
     // ---------------- deterministic mixture sampling (domain weighting) ----------------
     // per-source keep rates applied via modular arithmetic on doc_id — the
     // quality/domain-weighted sampling step, reproducible with no RNG state
@@ -784,6 +794,29 @@ object SparkEntry {
         |       array_to_string(words[i * 50 + 1 : i * 50 + 100], ' ') AS chunk_text
         |FROM c, UNNEST(range(nc)) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the greedy restart-at-capacity walk is inherently sequential, so the
+    // oracle replays it with a recursive CTE per (source, salt) stream —
+    // exactly the engine's per-group kernel semantics (flush when a
+    // non-empty bin would overflow; an oversized doc gets its own bin)
+    "q_seq_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS salt,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT d.*, row_number() OVER (PARTITION BY source, salt ORDER BY doc_id) AS rn
+        |  FROM d),
+        |walk AS (
+        |  SELECT source, salt, rn, n, 0 AS bin, n AS tot FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.source, o.salt, o.rn, o.n,
+        |         CASE WHEN w.tot + o.n > 256 THEN w.bin + 1 ELSE w.bin END AS bin,
+        |         CASE WHEN w.tot + o.n > 256 THEN o.n ELSE w.tot + o.n END AS tot
+        |  FROM walk w JOIN o ON o.source = w.source AND o.salt = w.salt AND o.rn = w.rn + 1)
+        |SELECT source, salt, CAST(bin AS INT) AS bin_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM walk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_domain_mix" ->
       """SELECT source, count(*) AS n_kept FROM documents

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's scalar hot paths — the
@@ -247,6 +248,74 @@ object MinHashSigsExpr {
   }
 }
 
+/** Greedy sequence packing as a native array-returning expression: walk a
+  * doc-ordered token-count array once, emitting one (n_docs, n_tokens)
+  * summary per training bin — a new bin starts whenever adding the next
+  * doc would exceed the capacity (so a doc longer than the capacity gets a
+  * bin of its own). The inherently sequential inner loop runs inside
+  * whole-stage codegen over each group's collected array; the groups
+  * themselves are the parallel unit (see TextAnalysis.packBins).
+  * Children: (tokenCounts ARRAY<INT>, capacity INT literal).
+  */
+case class GreedyPackExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(IntegerType, _) if right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"greedy_pack requires (ARRAY<INT>, INT), got (${left.dataType.catalogString}, " +
+        s"${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("n_docs", IntegerType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "greedy_pack"
+
+  override protected def nullSafeEval(arr: Any, cap: Any): Any =
+    GreedyPackExpr.pack(arr.asInstanceOf[ArrayData], cap.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c) =>
+      s"${ev.value} = graft.functions.expressions.GreedyPackExpr.pack($a, $c);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): GreedyPackExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object GreedyPackExpr {
+  /** Shared kernel: one pass, running (docs, tokens) totals; flush when the
+    * next count would overflow a non-empty bin. Null elements count 0
+    * tokens (unreachable from packBins, which coalesces). An empty input
+    * packs to zero bins, not one empty bin.
+    */
+  def pack(tokens: ArrayData, capacity: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val outDocs = new scala.collection.mutable.ArrayBuffer[Int]
+    val outToks = new scala.collection.mutable.ArrayBuffer[Long]
+    var docs = 0
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val t = if (tokens.isNullAt(i)) 0L else tokens.getInt(i).toLong
+      if (docs > 0 && tot + t > capacity) {
+        outDocs += docs; outToks += tot
+        docs = 0; tot = 0L
+      }
+      docs += 1; tot += t
+      i += 1
+    }
+    outDocs += docs; outToks += tot
+    val rows = new Array[Any](outDocs.length)
+    var j = 0
+    while (j < rows.length) {
+      rows(j) = new GenericInternalRow(Array[Any](outDocs(j), outToks(j)))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 /** PDF-confirm probe gate (P5/S7) as a native expression: the per-kept-row
   * content-type check runs codegen'd in the generation DAG (was a ScalaUDF).
   * Children: (url STRING, seed LONG literal). Kernel = SyntheticWeb's
@@ -313,6 +382,8 @@ object GraftFunctions {
       exprs => WinnowingFingerprintsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     r.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigsExpr(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "greedy_pack", exprs => GreedyPackExpr(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(
       "confirms_pdf", exprs => ConfirmsPdfExpr(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(

@@ -139,6 +139,44 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i * stride + 1, lit(size)))))
   }
 
+  /** Greedy sequence packing: the training-batch construction step that
+    * follows chunking — walk documents in a deterministic order and pack
+    * them into bins of `capacity` whitespace tokens (first-fit-in-order; a
+    * doc longer than the capacity gets a bin of its own). The walk order is
+    * doc_id within (source, salt) streams, with salt = doc_id mod
+    * `saltBuckets` — order comes from data, never task scheduling, so the
+    * packing is bit-stable across runs and parallelism levels.
+    *
+    * Scale contract: one shuffle (the groupBy); each group's (doc_id,
+    * n_tokens) pairs — 12 bytes/doc, never the text — are collected into an
+    * array for the sequential inner loop, which runs as the native
+    * codegen'd `greedy_pack` expression. Choose saltBuckets ≈ corpusRows /
+    * targetGroupSize to bound per-group memory at scale (the same
+    * caller-sized contract as the ANN plane count); packing quality is
+    * per-stream, so more streams trade a little fill efficiency for
+    * parallelism.
+    *
+    * Returns one row per packed bin: (source, salt, bin_id, n_docs,
+    * n_tokens), bin_id dense from 0 within its (source, salt) stream.
+    */
+  def packBins(docs: org.apache.spark.sql.DataFrame, capacity: Int,
+               saltBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    graft.functions.expressions.GraftFunctions.register(docs.sparkSession)
+    val salted = docs.select(col("source"),
+      pmod(col("doc_id"), lit(saltBuckets.toLong)).cast("int").as("salt"),
+      struct(col("doc_id"),
+        coalesce(tokenCount(col("text")), lit(0)).as("n")).as("dt"))
+    salted.groupBy(col("source"), col("salt"))
+      .agg(sort_array(collect_list(col("dt"))).as("dts"))
+      .select(col("source"), col("salt"),
+        posexplode(expr(s"greedy_pack(transform(dts, d -> d.n), $capacity)"))
+          .as(Seq("bin_id", "bin")))
+      .select(col("source"), col("salt"), col("bin_id"),
+        col("bin.n_docs").as("n_docs"), col("bin.n_tokens").as("n_tokens"))
+  }
+
   /** PII patterns (RE2-compatible — no lookaround — so the DuckDB oracle
     * replays them verbatim): the email/phone scrub every released corpus
     * runs. Counts + redacted text, all codegen'd regexp builtins.

@@ -365,6 +365,40 @@ class MlSpec extends AnyFunSuite {
     assert(fp2 == got(1L)._5)
   }
 
+  test("greedy sequence packing matches the sequential reference walk; oversized docs get own bins") {
+    val cap = 50
+    val saltB = 2
+    // token counts 5..44 plus two oversized (120 > cap) docs; 3 sources
+    val docs = (0 until 40).map { i =>
+      val nTok = if (i == 7 || i == 23) 120
+        else 5 + graft.util.Hashing.bounded(graft.util.Hashing.det(9L, i), 40)
+      (i.toLong, s"src${i % 3}", Seq.fill(nTok)(s"t$i").mkString(" "))
+    }
+    // physical layout must not matter: the walk order comes from the data
+    val df = docs.toDF("doc_id", "source", "text").repartition(7)
+    val got = TextAnalysis.packBins(df, cap, saltB)
+      .as[(String, Int, Int, Int, Long)].collect().toSet
+
+    val expected = docs.groupBy(d => (d._2, (d._1 % saltB).toInt)).flatMap {
+      case ((src, salt), ds) =>
+        val ordered = ds.sortBy(_._1).map(_._3.split(" ").count(_.nonEmpty).toLong)
+        var bins = Vector.empty[(Int, Long)]
+        var nd = 0
+        var tot = 0L
+        ordered.foreach { n =>
+          if (nd > 0 && tot + n > cap) { bins :+= ((nd, tot)); nd = 0; tot = 0L }
+          nd += 1; tot += n
+        }
+        bins :+= ((nd, tot))
+        bins.zipWithIndex.map { case ((d2, t2), b) => (src, salt, b, d2, t2) }
+    }.toSet
+    assert(got == expected)
+    // every over-capacity bin is a single oversized doc; doc count conserved
+    assert(got.filter(_._5 > cap).forall(b => b._4 == 1 && b._5 == 120L))
+    assert(got.count(_._5 > cap) == 2)
+    assert(got.toSeq.map(_._4).sum == 40)
+  }
+
   test("multimodal: real BMP/WAV/GRFV decode matches closed-form; frames explode") {
     val docs = Seq((0L, "an image doc"), (1L, "an audio doc"), (2L, "a video doc"))
       .toDF("doc_id", "text")
