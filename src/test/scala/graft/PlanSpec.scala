@@ -96,6 +96,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seq_pack: exactly one hash shuffle, greedy_pack native, no ScalaUDF") {
+    val plan = executedPlan("q_seq_pack")
+    assert(!plan.contains("ScalaUDF"), s"packing fell back to a UDF:\n$plan")
+    assert(plan.contains("greedy_pack"), s"native expression missing:\n$plan")
+    // one hash exchange (the groupBy); the trailing orderBy adds only a
+    // range exchange — a second hash exchange means the packing stopped
+    // reusing the group partitioning. Count only the final plan (AQE
+    // appends an "== Initial Plan ==" copy of the same tree).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$finalPlan")
+  }
+
   test("crawl generation DAG carries no ScalaUDF (pdf confirm + frontier score are native)") {
     import graft.pipeline.CrawlEngine
     import graft.synth.WebConfig
