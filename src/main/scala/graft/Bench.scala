@@ -200,10 +200,13 @@ object Bench {
     var skipped = 0
     var done = false
     // pair-cost estimate for the budget math before any pair has run:
-    // lo wall ≈ the calibration target, hi wall ≈ lo × (lo/hi) / 0.8
+    // lo wall ≈ the calibration target, hi wall ≈ lo × (lo/hi) / 0.8;
+    // +10 s covers the post-pair control burn, which is part of every
+    // attempt's real cost (without it the loop admits pairs that land
+    // past budgetSec by the burn's length)
     def pairCostSec: Double =
-      if (bestPair != null) (bestPair._1.wallSec + bestPair._2.wallSec) * 1.2
-      else math.max(loTargetSec, 135.0) * (1.0 + (lo.toDouble / hi) / 0.8) * 1.2
+      if (bestPair != null) (bestPair._1.wallSec + bestPair._2.wallSec) * 1.2 + 10
+      else math.max(loTargetSec, 135.0) * (1.0 + (lo.toDouble / hi) / 0.8) * 1.2 + 10
     while (!done && attempt < maxAttempts && elapsedSec < budgetSec) {
       waitForCalm(30000)
       // pre-gate: what the MACHINE gives THIS window (~8 s)

@@ -798,11 +798,15 @@ object SparkEntry {
     // the greedy restart-at-capacity walk is inherently sequential, so the
     // oracle replays it with a recursive CTE per (source, salt) stream —
     // exactly the engine's per-group kernel semantics (flush when a
-    // non-empty bin would overflow; an oversized doc gets its own bin)
+    // non-empty bin would overflow; an oversized doc gets its own bin).
+    // ((x % 4) + 4) % 4 replays Spark's pmod for any doc_id sign and
+    // coalesce(..., 0) the engine's null-text guard — without it a NULL
+    // token count would poison the running total for the rest of a stream
     "q_seq_pack" ->
       """WITH RECURSIVE d AS (
-        |  SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS salt,
-        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  SELECT doc_id, source,
+        |         CAST(((doc_id % 4) + 4) % 4 AS INT) AS salt,
+        |         coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS n
         |  FROM documents),
         |o AS (
         |  SELECT d.*, row_number() OVER (PARTITION BY source, salt ORDER BY doc_id) AS rn

@@ -141,8 +141,10 @@ object TextAnalysis {
 
   /** Greedy sequence packing: the training-batch construction step that
     * follows chunking — walk documents in a deterministic order and pack
-    * them into bins of `capacity` whitespace tokens (first-fit-in-order; a
-    * doc longer than the capacity gets a bin of its own). The walk order is
+    * them into bins of `capacity` whitespace tokens (next-fit: a doc that
+    * would overflow the current bin CLOSES it and opens a new one — closed
+    * bins are never revisited; a doc longer than the capacity gets a bin of
+    * its own). The walk order is
     * doc_id within (source, salt) streams, with salt = doc_id mod
     * `saltBuckets` — order comes from data, never task scheduling, so the
     * packing is bit-stable across runs and parallelism levels.

@@ -71,6 +71,13 @@ object DocIngest {
                     statePartitions: Option[Int] = None): DataFrame = {
     val session = statePartitions.fold(spark) { n =>
       val ss = spark.newSession()
+      // newSession() starts from builder/context-level conf only — copy the
+      // caller's RUNTIME SQL conf too (a session tuned via spark.conf.set
+      // must not silently lose those settings on the statePartitions path);
+      // non-settable entries are skipped
+      spark.conf.getAll.foreach { case (k, v) =>
+        try ss.conf.set(k, v) catch { case _: Exception => () }
+      }
       ss.conf.set("spark.sql.shuffle.partitions", n.toString)
       ss
     }

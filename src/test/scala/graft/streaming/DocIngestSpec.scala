@@ -26,8 +26,9 @@ class DocIngestSpec extends AnyFunSuite {
 
     // statePartitions exercises the newSession state-sizing path: the
     // stream (and its foreachBatch commits) run on a child session whose
-    // shuffle width differs from the test session's
-    val q = DocIngest.ingest(spark, srcDir, table, ckpt, statePartitions = Some(4))
+    // shuffle width differs from the test session's (which uses 4 — a
+    // matching value here would pass even if the child conf were ignored)
+    val q = DocIngest.ingest(spark, srcDir, table, ckpt, statePartitions = Some(3))
     q.awaitTermination(120000)
 
     val streamed = table.read(spark).getOrElse(fail("no data ingested"))
