@@ -214,6 +214,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- cluster resolution: keep best-quality per cluster ----------------
+    // the kept-set decision a dedup pipeline actually applies: every doc
+    // maps to its cluster's argmax-quality survivor (ties → smallest id;
+    // docs with no near-dup keep themselves); filter(kept) = deduped corpus
+    "q_dedup_resolve" -> ((s, dir) => {
+      TextDedup.resolveClusters(clusterDocs(s, dir), 0.8, TextAnalysis.qualityScore)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- incremental near-dup: delta vs corpus ----------------
     // the per-ingest shape: new docs (the two planted branches) near-dup
     // checked against the existing corpus AND each other, without a corpus
@@ -673,6 +682,53 @@ object SparkEntry {
          |  SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.id)
          |SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    // cluster resolution: same reachability replay, then the engine's
+    // quality arithmetic (the q_lang_quality replay, proven hash-equal)
+    // decides each cluster's survivor — argmax(quality), min-id tiebreak
+    "q_dedup_resolve" -> {
+      val allStops = sqlList(TextAnalysis.StopwordsByLang.values.flatten.toSeq.distinct)
+      s"""WITH RECURSIVE ${jaccardCtes(clusterAugSql)},
+         |pr AS (SELECT a, b
+         |       FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |       WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+         |nodes AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
+         |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.id),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |qm AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(list_intersect(list_distinct(list_transform(
+         |      list_filter(string_split(text, ' '), x -> x <> ''), t -> lower(t))), $allStops)) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct
+         |  FROM aug),
+         |qs AS (
+         |  SELECT doc_id,
+         |    (CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS DOUBLE)
+         |     + CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS DOUBLE)
+         |     + CAST(CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2 THEN 1 ELSE 0 END AS DOUBLE))
+         |    / CAST(3 AS DOUBLE) AS q
+         |  FROM qm),
+         |surv AS (
+         |  SELECT cluster, id AS survivor_id FROM (
+         |    SELECT cl.cluster, cl.id,
+         |           row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.q DESC, cl.id) AS rn
+         |    FROM cl JOIN qs ON qs.doc_id = cl.id) t
+         |  WHERE rn = 1),
+         |mapping AS (
+         |  SELECT cl.id AS doc_id, surv.survivor_id
+         |  FROM cl JOIN surv ON surv.cluster = cl.cluster)
+         |SELECT a.doc_id,
+         |  coalesce(m.survivor_id, a.doc_id) AS survivor_id,
+         |  coalesce(m.survivor_id, a.doc_id) = a.doc_id AS kept
+         |FROM aug a LEFT JOIN mapping m ON m.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
 
     "q_dedup_embedding" ->
       """WITH base AS (

@@ -631,6 +631,51 @@ object TextDedup {
     nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "keep_id")
   }
 
+  /** Cluster RESOLUTION — the kept-set decision a dedup pipeline actually
+    * applies after clustering: each near-dup cluster (connected component
+    * of the Jaccard-`threshold` pair graph) keeps ONE survivor, chosen by
+    * the caller's `quality` column (argmax; ties go to the smallest
+    * `doc_id` so resolution is deterministic), and EVERY corpus doc maps to
+    * its survivor — itself when it has no near-dup. Output:
+    * (doc_id, survivor_id, kept); `filter($"kept")` is the deduped corpus,
+    * the mapping rows are the redirect table.
+    *
+    * Scale shape: only CLUSTER MEMBERS (tiny vs corpus — the near-dup rate)
+    * pay the quality evaluation and the argmax, via a semi-shaped inner
+    * join of the CC output back to the corpus; the survivor pick is one
+    * narrow (cluster → max struct) aggregation — no window over the corpus,
+    * no quality pass over non-members. The final mapping rejoins the corpus
+    * on `doc_id` once. Pair generation and CC inherit the banding / star-
+    * contraction bounds documented on [[jaccardPairsOnBase]] /
+    * [[connectedComponents]].
+    */
+  def resolveClusters(docs: DataFrame, threshold: Double,
+                      quality: Column => Column,
+                      shingleSize: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = shingleDocBase(docs, shingleSize, idCol, textCol)
+    // drop audit intentionally off: membership is decided here, and the
+    // same generator runs WITH the audit wherever pairs are the product
+    val pairs = jaccardPairsOnBase(base, threshold, logDrops = false)
+    val cc = connectedComponents(pairs.select($"a", $"b"))
+    val members = cc.join(
+        docs.select(col(idCol).as("doc_id"), quality(col(textCol)).as("q")),
+        Seq("doc_id"))
+      .select($"doc_id", $"keep_id".as("cluster"), $"q")
+    // argmax(q) per cluster, min-id tiebreak: max of (q, -doc_id) structs
+    val survivors = members
+      .groupBy($"cluster")
+      .agg(max(struct($"q", (-$"doc_id").as("nid"))).as("w"))
+      .select($"cluster", (-$"w.nid").as("survivor_id"))
+    val mapped = members.select($"doc_id", $"cluster")
+      .join(survivors, Seq("cluster"))
+      .select($"doc_id", $"survivor_id")
+    docs.select(col(idCol).as("doc_id")).join(mapped, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"survivor_id", $"doc_id").as("survivor_id"),
+        (coalesce($"survivor_id", $"doc_id") === $"doc_id").as("kept"))
+  }
+
   /** Embedding-cosine near-dup pairs: unit-normalize, LSH-bucket by the
     * sign pattern of `planes` random hyperplanes (seeded, deterministic),
     * exact-verify cosine within buckets. No cross join anywhere. When

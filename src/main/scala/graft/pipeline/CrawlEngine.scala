@@ -76,7 +76,8 @@ final class CrawlEngine(
     expandTopK: Int = 0,
     bloomBuckets: Int = 32,
     tierBroadcastBytes: Long = 512L << 20,
-    seenSemiFilterRows: Long = 10L * 1000 * 1000) extends Serializable {
+    seenSemiFilterRows: Long = 10L * 1000 * 1000,
+    autoMaintainSeenDirs: Int = 16) extends Serializable {
 
   import spark.implicits._
 
@@ -355,11 +356,35 @@ final class CrawlEngine(
       val shuffled = remaining.sortBy(q => (SequentialOracle.shuffleRank(cfg.seed, round, q), q))
       val batch = shuffled.take(batchSize)
       runGeneration(round, batch)
+      autoMaintainSeen()
       remaining = shuffled.drop(batchSize)
       executed += 1
     }
     executed
   }
+
+  /** In-run maintenance cadence: the seen chain grows one bucketed dir per
+    * generation, and past [[maxSeenChainDirs]] the exchange-free anti-join
+    * chain silently falls back to the semi-filtered single join — without a
+    * cadence the fast path only survives as long as someone remembers to
+    * call [[maintain]] between crawls. When the chain reaches
+    * `autoMaintainSeenDirs` (0 disables), fold it back to half via
+    * SIZE-TIERED minor compaction ([[graft.snapshot.SnapshotTable
+    * .compactTiered]]): only the smallest dirs merge, so a long crawl
+    * rewrites a seen row O(log(|seen|/|delta|)) times total instead of
+    * re-paying O(|seen|) every cadence tick the way a major fold would —
+    * the write-amplification bound that matters at a 10¹⁰-row seen table.
+    * Vacuum keeps exactly the rollback depth resume needs; the commit is
+    * stamped with the just-barriered generation, so a crash anywhere in
+    * this window resumes identically (the compaction snapshot IS
+    * generation-N state). Full [[maintain]] (frontier fold + every table)
+    * remains the between-runs major pass.
+    */
+  private def autoMaintainSeen(): Unit =
+    if (autoMaintainSeenDirs > 0 && seenT.commitDirCount >= autoMaintainSeenDirs) {
+      seenT.compactTiered(spark, math.max(1, autoMaintainSeenDirs / 2))
+      seenT.vacuum(2)
+    }
 
   /** D2: seed order preserved, processed queries anti-filtered (main.py:48).
     * Seed lists are driver-resident in the reference too; the processed set

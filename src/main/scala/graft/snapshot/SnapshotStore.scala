@@ -121,7 +121,18 @@ final class SnapshotTable(val root: Path, val name: String) {
     commit(df, generation, counters, replace = true, bucketed = Some((buckets, bucketCol)))
 
   private def commit(df: DataFrame, generation: Int, counters: Map[String, Long],
-                     replace: Boolean, bucketed: Option[(Int, String)]): SnapshotMeta = {
+                     replace: Boolean, bucketed: Option[(Int, String)]): SnapshotMeta =
+    commitRetaining(df, generation, counters,
+      if (replace) Nil else currentSnapshot.map(_.files).getOrElse(Nil), bucketed)
+
+  /** Commit `df` as a new data dir while carrying `retained` files (a
+    * subset of the parent's) into the new snapshot unchanged. append =
+    * retain all parent files; replace = retain none; a partial fold
+    * ([[compactTiered]]) retains the files of every dir it did not merge.
+    */
+  private def commitRetaining(df: DataFrame, generation: Int, counters: Map[String, Long],
+                              retained: List[DataFileMeta],
+                              bucketed: Option[(Int, String)]): SnapshotMeta = {
     Files.createDirectories(snapDir)
     val parent = currentSnapshot
     val id = parent.map(_.snapshotId + 1).getOrElse(0L)
@@ -166,11 +177,10 @@ final class SnapshotTable(val root: Path, val name: String) {
           Future(DataFileMeta(p.toString, parquetRows(p)))),
         Duration.Inf)
     }
-    val files = (if (replace) Nil else parent.map(_.files).getOrElse(Nil)) ++ newFiles
+    val files = retained ++ newFiles
     // carry the bucket registry forward, pruned to dirs still referenced
     val liveDirs = files.map(f => Paths.get(f.path).getParent.getFileName.toString).toSet
-    val carried = (if (replace) Map.empty[String, String]
-                   else parent.flatMap(_.dirBuckets).getOrElse(Map.empty))
+    val carried = parent.flatMap(_.dirBuckets).getOrElse(Map.empty)
       .filter { case (d, _) => liveDirs(d) }
     val dirB = carried ++ bucketed.map { case (n, bc) => s"s$id" -> s"$n:$bc" }.toMap
     val meta = SnapshotMeta(id, parent.map(_.snapshotId).getOrElse(-1L), generation,
@@ -255,6 +265,13 @@ final class SnapshotTable(val root: Path, val name: String) {
     }
   }
 
+  /** Number of live commit dirs in the current snapshot (manifest-only —
+    * no file IO, no Spark job). This is the anti-join chain length a
+    * chunked reader pays, and the signal [[compactTiered]] bounds.
+    */
+  def commitDirCount: Int =
+    currentSnapshot.map(_.files.map(f => Paths.get(f.path).getParent).distinct.size).getOrElse(0)
+
   /** Rows added by this commit relative to its parent (free from the
     * manifests — no Spark job). For replace commits this is the new total.
     */
@@ -315,6 +332,41 @@ final class SnapshotTable(val root: Path, val name: String) {
           }
       }
     }
+
+  /** Size-tiered MINOR compaction for a bucketed table (the LSM merge shape):
+    * when the commit-dir chain exceeds `targetDirs`, fold the SMALLEST
+    * (by manifest row count) `nDirs - targetDirs + 1` dirs into one new
+    * bucketed dir and retain every other dir's files untouched — the new
+    * snapshot lands at exactly `targetDirs` dirs. Contrast [[compact]]
+    * (major): that rewrites the WHOLE table, O(|table|) per call; at 10¹⁰
+    * rows with small per-generation deltas a major fold every K generations
+    * rewrites the full base each time, while smallest-first merging rewrites
+    * a row O(log(|table|/|delta|)) times over its life — the standard
+    * size-tiered write-amplification bound. Rows, bucketing (same
+    * `repartition(n, col)` the chain reader assumes) and the manifest
+    * registry are preserved; only dir boundaries move, so any consumer of
+    * [[readCommitChunks]] sees the same union. No-op (None) when the table
+    * is not uniformly bucketed or the chain is already within bounds.
+    */
+  def compactTiered(spark: SparkSession, targetDirs: Int): Option[SnapshotMeta] = {
+    require(targetDirs >= 1, s"targetDirs must be >= 1, got $targetDirs")
+    currentSnapshot.filter(_.files.nonEmpty).flatMap { cur =>
+      bucketSpec.flatMap { case (n, bc) =>
+        val byDir = cur.files.groupBy(f => Paths.get(f.path).getParent)
+        if (byDir.size <= targetDirs) None
+        else {
+          // smallest rows first; dir name tie-breaks for determinism
+          val foldDirs = byDir.toSeq
+            .sortBy { case (d, fs) => (fs.map(_.rows).sum, d.getFileName.toString) }
+            .take(byDir.size - targetDirs + 1)
+            .map(_._1).toSet
+          val (folded, kept) = cur.files.partition(f => foldDirs(Paths.get(f.path).getParent))
+          val df = spark.read.parquet(folded.map(_.path): _*)
+          Some(commitRetaining(df, cur.generation, cur.counters, kept, Some((n, bc))))
+        }
+      }
+    }
+  }
 
   /** Expire history: keep the last `keepSnapshots` snapshots on the current
     * chain, delete every other snapshot manifest and every data file no

@@ -187,6 +187,27 @@ class MlSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("cluster resolution keeps the argmax-quality survivor; ties and singletons deterministic") {
+    def words(seed: Int, n: Int) = (0 until n)
+      .map(j => s"w${graft.util.Hashing.bounded(graft.util.Hashing.det(7L, seed, j), 400)}")
+      .mkString(" ")
+    val baseA = words(1, 30)
+    val baseB = words(2, 30)
+    val docs = Seq(
+      (1L, baseA), // cluster A
+      (2L, baseA + " longerlonger"), // highest quality (longest) in A
+      (3L, baseA), // identical to 1 — same quality, loses to 2
+      (10L, baseB), (11L, baseB), // cluster B: exact tie → min id survives
+      (20L, words(3, 30)) // singleton keeps itself
+    ).toDF("doc_id", "text")
+    val got = TextDedup.resolveClusters(docs, 0.8, t => length(t).cast("double"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true)))
+  }
+
   test("jaccard hot-token cap sheds the token and still completes") {
     // 'hot' appears in every doc (df=50 > maxDf=10) and is shed; the other
     // tokens are unique so no pair survives

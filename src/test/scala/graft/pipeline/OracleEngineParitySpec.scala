@@ -166,6 +166,35 @@ class OracleEngineParitySpec extends AnyFunSuite {
     assert(eng3.crawlOrder() == oracleExp.crawlOrder)
   }
 
+  test("auto-maintenance cadence: tiered seen compaction inside run(), parity + resume hold") {
+    // batch 2 → 6 generations; cadence 2 → the tiered fold fires after
+    // nearly every generation, so parity here pins that a mid-run fold
+    // never perturbs dedup, ordering, or resume
+    val batch2 = 2
+    val oracle2 = SequentialOracle.run(cfg, seeds, batch2)
+    val dir = tempDir("automaint")
+    val eng = new CrawlEngine(SparkTestSession.spark, cfg, dir, batch2,
+      autoMaintainSeenDirs = 2)
+    eng.run(seeds)
+    assert(eng.seenT.commitDirCount <= 2, "cadence must bound the chain length")
+    assert(eng.seenSet() == oracle2.seen)
+    assert(eng.crawlOrder() == oracle2.crawlOrder)
+    // resume on the maintained store: nothing to do, state intact
+    val engR = new CrawlEngine(SparkTestSession.spark, cfg, dir, batch2,
+      autoMaintainSeenDirs = 2)
+    assert(engR.run(seeds) == 0)
+    assert(engR.seenSet() == oracle2.seen)
+    // interrupt BETWEEN cadence ticks, then finish with a fresh engine
+    val dir2 = tempDir("automaint-resume")
+    new CrawlEngine(SparkTestSession.spark, cfg, dir2, batch2,
+      autoMaintainSeenDirs = 2).run(seeds, maxRounds = 3)
+    val engB = new CrawlEngine(SparkTestSession.spark, cfg, dir2, batch2,
+      autoMaintainSeenDirs = 2)
+    engB.run(seeds)
+    assert(engB.seenSet() == oracle2.seen)
+    assert(engB.crawlOrder() == oracle2.crawlOrder)
+  }
+
   test("maintain (compact + vacuum) between runs: state identical, resume still a no-op") {
     val dir = tempDir("maintain")
     val eng = newEngine(dir)

@@ -124,6 +124,36 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(chunks.size == 2 && chunks.map(_.count()).sum == 20)
   }
 
+  test("tiered compact folds ONLY the smallest dirs; rows, bucketing, chunk union preserved") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val t = freshTable("tiered")
+    def rows(g: Int, n: Int) = (1 to n).map(i => (g * 1000 + i).toLong).toDF("id")
+      .select(xxhash64(col("id")).as("h"), col("id"))
+    // dir sizes 100/10/10/10/40 — the three 10-row dirs are the fold set
+    val sizes = Seq(100, 10, 10, 10, 40)
+    sizes.zipWithIndex.foreach { case (n, g) => t.appendBucketed(rows(g + 1, n), g + 1, 4, "h") }
+    assert(t.commitDirCount == 5)
+    val all = t.read(spark).get.select("id").as[Long].collect().toSet
+    val m = t.compactTiered(spark, targetDirs = 3).get
+    assert(t.commitDirCount == 3 && m.rowCount == sizes.sum)
+    // the two LARGE dirs (s0: 100 rows, s4: 40 rows) are retained verbatim —
+    // their files never rewrite (the size-tiered write-amplification point)
+    val liveDirs = m.files
+      .map(f => java.nio.file.Paths.get(f.path).getParent.getFileName.toString).toSet
+    assert(liveDirs == Set("s0", "s4", "s5"), s"got $liveDirs")
+    // layout survives: uniform spec, every dir registered, chunk union equal
+    assert(t.bucketSpec.contains((4, "h")))
+    assert(m.dirBuckets.get.keySet == liveDirs)
+    val chunks = t.readCommitChunks(spark).get
+    assert(chunks.size == 3 && chunks.map(_.count()).sum == sizes.sum)
+    assert(t.read(spark).get.select("id").as[Long].collect().toSet == all)
+    // within bounds → no-op; plain (unbucketed) table → no-op
+    assert(t.compactTiered(spark, 3).isEmpty)
+    val p = freshTable("tiered-plain")
+    (1 to 3).foreach(g => p.append(Seq((g, "x")).toDF("id", "v"), g))
+    assert(p.compactTiered(spark, 1).isEmpty)
+  }
+
   test("vacuum expires history and deletes unreferenced data files; current chain unaffected") {
     val t = freshTable("vacuum")
     (1 to 4).foreach(g => t.append(Seq((g, s"v$g")).toDF("id", "v"), g))
