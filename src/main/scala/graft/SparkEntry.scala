@@ -430,6 +430,43 @@ object SparkEntry {
     }),
 
     // ---------------- text analysis: lang-id + quality (rows-only) ----------------
+    // ---------------- streaming near-dup dedup (driver-gated) ----------------
+    // three micro-batches (base corpus, then two planted branch files) drain
+    // through DedupStream; the pairs table must equal the EXACT Jaccard pair
+    // set over the whole union (stream == batch == exhaustive — the same
+    // equivalence chain q_dedup_minhash/q_dedup_incremental pin in batch)
+    "q_stream_dedup" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val src = Files.createTempDirectory("graft-qsdedup-src")
+      Files.copy(Paths.get(s"$dir/documents.parquet"), src.resolve("0-documents.parquet"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def stage(mod: Int, off: Long, suffix: String, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft-qsdedup-part")
+        d.filter(col("doc_id") % mod === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat(col("text"), lit(suffix)).as("text"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        } finally ls.close()
+        Files.move(part.get, src.resolve(name)): Unit
+      }
+      stage(10, 1000000L, " zzzplanted", "1-branch.parquet")
+      stage(20, 2000000L, " zzzplanted2", "2-branch.parquet")
+      val store = graft.snapshot.SnapshotStore(
+        Files.createTempDirectory("graft-qsdedup-store").toString)
+      val pairsT = store.table("near_dup_pairs")
+      val ckpt = Files.createTempDirectory("graft-qsdedup-ckpt").toString
+      val q = graft.streaming.DedupStream.ingest(s, src.toString,
+        store.table("corpus"), pairsT, ckpt, threshold = 0.8)
+      q.awaitTermination(180000)
+      pairsT.read(s)
+        .getOrElse(s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0))
+        .select(col("a"), col("b")).orderBy(col("a"), col("b"))
+    }),
+
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
@@ -829,6 +866,11 @@ object SparkEntry {
          |  AND symbol_ratio <= 0.1 AND n_stop_types >= 2
          |ORDER BY text""".stripMargin
     },
+
+    // streaming near-dup: the drained pairs table equals the exhaustive
+    // exact-Jaccard pair set over the streamed union (same aug fixture as
+    // the cluster family)
+    "q_stream_dedup" -> jaccardPairsSql(clusterAugSql, 0.8),
 
     "q_token_topk" ->
       """SELECT token, count(*) AS n FROM (

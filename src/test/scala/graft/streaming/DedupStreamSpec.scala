@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.ml.TextDedup
+import graft.snapshot.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 200 hash-random words per doc (the MlSpec construction): cross-doc
+    * shingle overlap ≈ 0, a one-token append keeps Jaccard ≈ 0.99.
+    */
+  private def doc(seed: Int): String =
+    (0 until 200)
+      .map(j => s"w${graft.util.Hashing.bounded(graft.util.Hashing.det(11L, seed, j), 400)}")
+      .mkString(" ")
+
+  private def writeFile(dir: Path, name: String, rows: Seq[(Long, String)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft-dstream-part")
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part = try listing.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")) finally listing.close()
+    Files.move(part.getOrElse(fail("no parquet part written")), dir.resolve(name))
+  }
+
+  // three micro-batches with duplicates WITHIN a batch, ACROSS adjacent
+  // batches, and a 3-doc cluster split across batches
+  private lazy val (srcDir, allDocs) = {
+    val d = Files.createTempDirectory("graft-dstream-src")
+    val f0 = (0 until 20).map(i => (i.toLong, doc(i))) :+ (1005L, doc(5) + " zzz")
+    val f1 = (20 until 40).map(i => (i.toLong, doc(i))) :+ (1000L, doc(0) + " zzz")
+    val f2 = (40 until 50).map(i => (i.toLong, doc(i))) ++
+      Seq((1025L, doc(25) + " zzz"), (1040L, doc(40) + " zzz"), (2040L, doc(40) + " yyy"))
+    writeFile(d, "0.parquet", f0)
+    writeFile(d, "1.parquet", f1)
+    writeFile(d, "2.parquet", f2)
+    (d.toString, f0 ++ f1 ++ f2)
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select($"a", $"b").as[(Long, Long)].collect().toSet
+
+  test("streaming near-dup drain equals the full-batch pair set, one file per micro-batch") {
+    val store = SnapshotStore(Files.createTempDirectory("graft-dstream").toString)
+    val corpusT = store.table("corpus")
+    val pairsT = store.table("near_dup_pairs")
+    val ckpt = Files.createTempDirectory("graft-dstream-ckpt").toString
+
+    val q = DedupStream.ingest(spark, srcDir, corpusT, pairsT, ckpt, threshold = 0.8)
+    q.awaitTermination(120000)
+
+    val batchPairs = pairSet(TextDedup.minhashNearDups(allDocs.toDF("doc_id", "text"), 0.8))
+    val streamPairs = pairSet(pairsT.read(spark).getOrElse(fail("no pairs table")))
+    assert(streamPairs == batchPairs)
+    // the fixture exercises every arrival shape
+    assert(batchPairs.contains((5L, 1005L)), "within-batch pair missing from the oracle")
+    assert(batchPairs.contains((0L, 1000L)), "cross-batch pair missing from the oracle")
+    assert(batchPairs.contains((1040L, 2040L)), "delta-internal pair of a split cluster missing")
+    // corpus table accumulated every streamed doc, one generation per file
+    assert(corpusT.read(spark).get.count() == allDocs.size)
+    assert(corpusT.currentSnapshot.exists(_.generation == 3))
+  }
+
+  test("replay interleavings: full replay is a no-op; a partial crash completes only the missing append") {
+    val store = SnapshotStore(Files.createTempDirectory("graft-dstream-replay").toString)
+    val corpusT = store.table("corpus")
+    val pairsT = store.table("near_dup_pairs")
+    val b0 = (0 until 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val b1 = Seq((1000L, doc(0) + " zzz")).toDF("doc_id", "text")
+
+    DedupStream.commitBatch(spark, corpusT, pairsT, b0, batchId = 0L, threshold = 0.8)
+    val (c0, p0) = (corpusT.currentSnapshot.get, pairsT.currentSnapshot.get)
+    // crash after the checkpoint window -> Spark replays the SAME batch id
+    DedupStream.commitBatch(spark, corpusT, pairsT, b0, batchId = 0L, threshold = 0.8)
+    assert(corpusT.currentSnapshot.get.snapshotId == c0.snapshotId)
+    assert(pairsT.currentSnapshot.get.snapshotId == p0.snapshotId)
+
+    // partial crash: batch 1's PAIRS append committed, corpus append did not
+    // (the window between the two appends) — replay must append the corpus
+    // delta without duplicating pairs
+    val prePairs = TextDedup
+      .minhashNearDupsIncremental(corpusT.read(spark).get, b1, 0.8, logDrops = false)
+      .select($"a", $"b")
+    pairsT.append(prePairs, generation = 2)
+    val pAfterManual = pairsT.currentSnapshot.get
+    DedupStream.commitBatch(spark, corpusT, pairsT, b1, batchId = 1L, threshold = 0.8)
+    assert(pairsT.currentSnapshot.get.snapshotId == pAfterManual.snapshotId,
+      "replay must not re-append pairs")
+    assert(corpusT.currentSnapshot.exists(m => m.generation == 2 && m.rowCount == 6),
+      "replay must complete the missing corpus append")
+    assert(pairSet(pairsT.read(spark).get) == Set((0L, 1000L)))
+  }
+}
