@@ -460,7 +460,7 @@ object SparkEntry {
       val pairsT = store.table("near_dup_pairs")
       val ckpt = Files.createTempDirectory("graft-qsdedup-ckpt").toString
       val q = graft.streaming.DedupStream.ingest(s, src.toString,
-        store.table("corpus"), pairsT, ckpt, threshold = 0.8)
+        store.table("corpus"), pairsT, store.table("band_index"), ckpt, threshold = 0.8)
       q.awaitTermination(180000)
       pairsT.read(s)
         .getOrElse(s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0))

@@ -356,10 +356,13 @@ object TextDedup {
     *      join below this projection on its own — verified on the plan),
     *      so the corpus shingle pipeline runs a second time only for docs
     *      that appear in some candidate pair.
-    * At deployment the banded corpus table would be PERSISTED bucketed by
-    * (band, bsig) — the same storage-partitioned design as the crawl
-    * engine's seen table — turning scan 1 into a bucket-pruned read; the
-    * operator's join shape is already that one.
+    * [[minhashNearDupsIndexed]] is the deployed form of scan 1: the banding
+    * rows PERSISTED as a `bkey`-bucketed snapshot table (the same
+    * storage-partitioned design as the crawl engine's seen table), read
+    * bucket-pruned instead of recomputed — [[graft.streaming.DedupStream]]
+    * maintains that index commit-by-commit. This recomputing form remains
+    * the one-shot / no-index path and the equality oracle for the indexed
+    * one.
     *
     * Bucket-cap semantics match the batch operator on every bucket the
     * delta occupies (occupancy there counts corpus + delta rows, exactly
@@ -380,13 +383,84 @@ object TextDedup {
     val bandedC = minhashBanded(corpusToks, numHashes, bands)
       .join(deltaKeys, Seq("band", "bsig"), "left_semi")
       .localCheckpoint(false)
+    incrementalTail(corpus, baseD, bandedD, bandedC, threshold, idCol, textCol,
+      shingleSize, maxBucket, logDrops, "minhash-incremental")
+  }
+
+  /** The (id, band, bsig, bkey) band-index rows of a document table — what a
+    * deployment PERSISTS (bucketed by `bkey`) so per-ingest dedup never
+    * re-reads corpus text for candidate generation. `bkey = xxhash64(band,
+    * bsig)` is a single stored bucket column: storage-bucketing on it
+    * co-partitions equal (band, bsig) keys, and a probe side can recompute
+    * it from its own banding. Per-doc and deterministic, so the index of a
+    * corpus is the union of the indexes of its ingest batches — exactly the
+    * invariant [[graft.streaming.DedupStream]] maintains commit-by-commit.
+    */
+  def bandIndexOf(docs: DataFrame, shingleSize: Int = 3, numHashes: Int = 32,
+                  bands: Int = 16, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    withBkey(minhashBanded(
+      shingleDocProjection(parallelFloor(docs), shingleSize, idCol, textCol),
+      numHashes, bands))
+
+  private def withBkey(banded: DataFrame): DataFrame =
+    banded.withColumn("bkey", xxhash64($"band", $"bsig"))
+
+  /** [[minhashNearDupsIncremental]] against a PERSISTED band index instead
+    * of a live corpus banding scan: `bandIndex` carries the corpus's
+    * [[bandIndexOf]] rows (typically the union of a bucketed snapshot
+    * table's commit chunks), so candidate generation reads (id, band, bsig,
+    * bkey) rows — never corpus text — and when the delta occupies at most
+    * `pruneMaxKeys` distinct buckets the read is narrowed further to
+    * `bkey IN (delta's keys)`: an 8-byte-key filter that pushes down to the
+    * index scans (parquet row-group stats + bucket pruning on a
+    * bucket-stored index — PlanSpec asserts `SelectedBucketsCount`; the
+    * file-level skip holds even when the planner disables the bucketed
+    * OUTPUT partitioning for a filter-only probe — the non-bucketed read
+    * path still drops files by the bucket id in their names). bkey
+    * collisions only ADD candidate rows; the exact (band, bsig) semi-join
+    * below removes them, so pruning never changes the output (MlSpec pins
+    * pruned == unpruned == recomputed). The verify stage still re-reads
+    * only candidate-pair ids from the raw corpus, as in the recomputing
+    * form. `pruneMaxKeys <= 0` disables pruning.
+    */
+  def minhashNearDupsIndexed(corpus: DataFrame, bandIndex: DataFrame, delta: DataFrame,
+                             threshold: Double,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                             maxBucket: Int = 1000, logDrops: Boolean = true,
+                             pruneMaxKeys: Int = 1 << 15): DataFrame = {
+    val baseD = shingleDocBase(delta, shingleSize, idCol, textCol)
+    val bandedD = withBkey(minhashBanded(baseD, numHashes, bands)).localCheckpoint(false)
+    val deltaKeys = bandedD.select($"band", $"bsig", $"bkey").distinct()
+      .localCheckpoint(true) // one row per delta-occupied bucket — small
+    val pruned =
+      if (pruneMaxKeys > 0 && deltaKeys.count() <= pruneMaxKeys) {
+        val keys = deltaKeys.select($"bkey").distinct().collect().map(_.getLong(0)).toSeq
+        bandIndex.where($"bkey".isInCollection(keys))
+      } else bandIndex
+    val bandedC = pruned.select($"id", $"band", $"bsig")
+      .join(deltaKeys.select($"band", $"bsig"), Seq("band", "bsig"), "left_semi")
+      .localCheckpoint(false)
+    incrementalTail(corpus, baseD, bandedD.drop("bkey"), bandedC, threshold, idCol,
+      textCol, shingleSize, maxBucket, logDrops, "minhash-indexed")
+  }
+
+  /** Shared tail of the two incremental generators: bucket-cap accounting
+    * over corpus∪delta band rows, delta-touching pair expansion, and the
+    * candidate-ids-only exact verify against the raw corpus.
+    */
+  private def incrementalTail(corpus: DataFrame, baseD: DataFrame, bandedD: DataFrame,
+                              bandedC: DataFrame, threshold: Double,
+                              idCol: String, textCol: String, shingleSize: Int,
+                              maxBucket: Int, logDrops: Boolean, label: String): DataFrame = {
     val all = bandedC.withColumn("isd", lit(false))
       .unionByName(bandedD.withColumn("isd", lit(true)))
     val counts = all.groupBy($"band", $"bsig").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // one row per delta-occupied bucket — small
     if (logDrops) {
       val big = counts.filter($"cnt" > maxBucket).count()
-      logDrop("minhash-incremental", s"buckets larger than $maxBucket", big)
+      logDrop(label, s"buckets larger than $maxBucket", big)
     }
     val inBucket = all.join(
       counts.filter($"cnt" > 1 && $"cnt" <= maxBucket).select($"band", $"bsig"),

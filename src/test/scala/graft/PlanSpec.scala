@@ -263,6 +263,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("band-index prune: bkey IN pushes into the bucket-stored index scan (bucket-pruned)") {
+    // the scan shape minhashNearDupsIndexed's prune path produces: the
+    // delta's bkey list reaches the persisted index as a pushed filter AND
+    // prunes whole bucket files — the read is delta-sized, not index-sized
+    import org.apache.spark.sql.functions._
+    import graft.ml.TextDedup
+    val store = graft.snapshot.SnapshotStore(tempDir("band-index"))
+    val idxT = store.table("band_index")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    idxT.appendBucketed(TextDedup.bandIndexOf(docs), generation = 1,
+      buckets = 8, bucketCol = "bkey")
+    val chunks = idxT.readCommitChunks(spark).getOrElse(fail("no index chunks"))
+    val keys = chunks.head.select(col("bkey")).distinct().limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    // a filter-only probe doesn't NEED the bucket partitioning, so Spark's
+    // DisableUnnecessaryBucketedScan would hide the pruning metadata; pin
+    // the planner's hands to assert the capability the layout provides
+    val before = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val plan = try {
+      val pruned = chunks.map(_.where(col("bkey").isInCollection(keys))).reduce(_ unionByName _)
+      pruned.collect()
+      pruned.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", before)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning on the index scan:\n$plan")
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"bucket pruning selected every bucket:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(bkey".r.findFirstIn(plan).isDefined,
+      s"bkey IN not pushed to the scan:\n$plan")
+  }
+
   test("crawl generation plan: dedup anti-join reuses the href hash partitioning") {
     // the first-seen window partitions by href; the following anti-join on
     // href must not introduce a second exchange of the candidate stream

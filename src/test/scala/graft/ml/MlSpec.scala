@@ -167,6 +167,18 @@ class MlSpec extends AnyFunSuite {
     assert(want == plantedPairs, "fixture sanity: delta-touching pairs are the planted ones")
     assert(batch.contains((1L, 500L)), "fixture sanity: the corpus-internal dup pairs in batch mode")
     assert(!got.contains((1L, 500L)), "corpus-internal pairs must not surface incrementally")
+
+    // indexed form: the persisted band index replaces the live corpus
+    // banding scan — identical output on the pruned (bkey IN) path, the
+    // unpruned path (pruneMaxKeys = 0), and vs the recomputing form
+    val index = TextDedup.bandIndexOf(corpus).localCheckpoint()
+    val gotIdx = TextDedup.minhashNearDupsIndexed(corpus, index, delta, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(gotIdx == want, s"indexed != restricted batch; extra=${gotIdx -- want} missing=${want -- gotIdx}")
+    val gotIdxNoPrune = TextDedup
+      .minhashNearDupsIndexed(corpus, index, delta, 0.8, pruneMaxKeys = 0)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(gotIdxNoPrune == want, "bkey pruning must not change the pair set")
   }
 
   test("simhash verified near-dups equal the exhaustive exact-jaccard pair set") {

@@ -51,9 +51,10 @@ class DedupStreamSpec extends AnyFunSuite {
     val store = SnapshotStore(Files.createTempDirectory("graft-dstream").toString)
     val corpusT = store.table("corpus")
     val pairsT = store.table("near_dup_pairs")
+    val indexT = store.table("band_index")
     val ckpt = Files.createTempDirectory("graft-dstream-ckpt").toString
 
-    val q = DedupStream.ingest(spark, srcDir, corpusT, pairsT, ckpt, threshold = 0.8)
+    val q = DedupStream.ingest(spark, srcDir, corpusT, pairsT, indexT, ckpt, threshold = 0.8)
     q.awaitTermination(120000)
 
     val batchPairs = pairSet(TextDedup.minhashNearDups(allDocs.toDF("doc_id", "text"), 0.8))
@@ -66,35 +67,48 @@ class DedupStreamSpec extends AnyFunSuite {
     // corpus table accumulated every streamed doc, one generation per file
     assert(corpusT.read(spark).get.count() == allDocs.size)
     assert(corpusT.currentSnapshot.exists(_.generation == 3))
+    // the persisted index is exactly the banding of the accumulated corpus
+    // (union-of-batches == whole-corpus: banding is per-doc), stored bucketed
+    val streamed = indexT.read(spark).get
+      .select($"id", $"band", $"bkey").as[(Long, Int, Long)].collect().toSet
+    val recomputed = TextDedup.bandIndexOf(allDocs.toDF("doc_id", "text"))
+      .select($"id", $"band", $"bkey").as[(Long, Int, Long)].collect().toSet
+    assert(streamed == recomputed)
+    assert(indexT.bucketSpec.contains((32, "bkey")), "index must be stored bucketed by bkey")
   }
 
-  test("replay interleavings: full replay is a no-op; a partial crash completes only the missing append") {
+  test("replay interleavings: full replay is a no-op; a partial crash completes only the missing appends") {
     val store = SnapshotStore(Files.createTempDirectory("graft-dstream-replay").toString)
     val corpusT = store.table("corpus")
     val pairsT = store.table("near_dup_pairs")
+    val indexT = store.table("band_index")
     val b0 = (0 until 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val b1 = Seq((1000L, doc(0) + " zzz")).toDF("doc_id", "text")
 
-    DedupStream.commitBatch(spark, corpusT, pairsT, b0, batchId = 0L, threshold = 0.8)
-    val (c0, p0) = (corpusT.currentSnapshot.get, pairsT.currentSnapshot.get)
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b0, batchId = 0L, threshold = 0.8)
+    val (c0, p0, i0) =
+      (corpusT.currentSnapshot.get, pairsT.currentSnapshot.get, indexT.currentSnapshot.get)
     // crash after the checkpoint window -> Spark replays the SAME batch id
-    DedupStream.commitBatch(spark, corpusT, pairsT, b0, batchId = 0L, threshold = 0.8)
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b0, batchId = 0L, threshold = 0.8)
     assert(corpusT.currentSnapshot.get.snapshotId == c0.snapshotId)
     assert(pairsT.currentSnapshot.get.snapshotId == p0.snapshotId)
+    assert(indexT.currentSnapshot.get.snapshotId == i0.snapshotId)
 
-    // partial crash: batch 1's PAIRS append committed, corpus append did not
-    // (the window between the two appends) — replay must append the corpus
-    // delta without duplicating pairs
+    // partial crash: batch 1's PAIRS append committed, index and corpus
+    // appends did not (the window right after the first append) — replay
+    // must complete BOTH missing appends without duplicating pairs
     val prePairs = TextDedup
       .minhashNearDupsIncremental(corpusT.read(spark).get, b1, 0.8, logDrops = false)
       .select($"a", $"b")
     pairsT.append(prePairs, generation = 2)
     val pAfterManual = pairsT.currentSnapshot.get
-    DedupStream.commitBatch(spark, corpusT, pairsT, b1, batchId = 1L, threshold = 0.8)
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b1, batchId = 1L, threshold = 0.8)
     assert(pairsT.currentSnapshot.get.snapshotId == pAfterManual.snapshotId,
       "replay must not re-append pairs")
     assert(corpusT.currentSnapshot.exists(m => m.generation == 2 && m.rowCount == 6),
       "replay must complete the missing corpus append")
+    assert(indexT.currentSnapshot.exists(_.generation == 2),
+      "replay must complete the missing index append")
     assert(pairSet(pairsT.read(spark).get) == Set((0L, 1000L)))
   }
 }
