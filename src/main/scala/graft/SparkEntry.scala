@@ -67,6 +67,33 @@ object SparkEntry {
           concat(col("text"), lit(" zzzplanted2")).as("text")))
   }
 
+  /** Stage the [[clusterDocs]] fixture as a THREE-FILE stream source (base
+    * documents, then each planted branch as its own micro-batch file) so
+    * the streaming queries drain the exact corpus the batch/oracle replays.
+    */
+  private def stageClusterStream(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft-qsdedup-src")
+    Files.copy(Paths.get(s"$dir/documents.parquet"), src.resolve("0-documents.parquet"))
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def stage(mod: Int, off: Long, suffix: String, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-qsdedup-part")
+      d.filter(col("doc_id") % mod === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(suffix)).as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+      } finally ls.close()
+      Files.move(part.get, src.resolve(name)): Unit
+    }
+    stage(10, 1000000L, " zzzplanted", "1-branch.parquet")
+    stage(20, 2000000L, " zzzplanted2", "2-branch.parquet")
+    src.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- aggregation / group-by (A1/A4) ----------------
     "q1_agg" -> ((s, dir) => {
@@ -436,35 +463,49 @@ object SparkEntry {
     // set over the whole union (stream == batch == exhaustive — the same
     // equivalence chain q_dedup_minhash/q_dedup_incremental pin in batch)
     "q_stream_dedup" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      val src = Files.createTempDirectory("graft-qsdedup-src")
-      Files.copy(Paths.get(s"$dir/documents.parquet"), src.resolve("0-documents.parquet"))
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      def stage(mod: Int, off: Long, suffix: String, name: String): Unit = {
-        val tmp = Files.createTempDirectory("graft-qsdedup-part")
-        d.filter(col("doc_id") % mod === 0)
-          .select((col("doc_id") + off).as("doc_id"),
-            concat(col("text"), lit(suffix)).as("text"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val ls = Files.list(tmp)
-        val part = try {
-          import scala.jdk.CollectionConverters._
-          ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
-        } finally ls.close()
-        Files.move(part.get, src.resolve(name)): Unit
-      }
-      stage(10, 1000000L, " zzzplanted", "1-branch.parquet")
-      stage(20, 2000000L, " zzzplanted2", "2-branch.parquet")
+      import java.nio.file.Files
+      val src = stageClusterStream(s, dir)
       val store = graft.snapshot.SnapshotStore(
         Files.createTempDirectory("graft-qsdedup-store").toString)
       val pairsT = store.table("near_dup_pairs")
       val ckpt = Files.createTempDirectory("graft-qsdedup-ckpt").toString
-      val q = graft.streaming.DedupStream.ingest(s, src.toString,
+      val q = graft.streaming.DedupStream.ingest(s, src,
         store.table("corpus"), pairsT, store.table("band_index"), ckpt, threshold = 0.8)
       q.awaitTermination(180000)
       pairsT.read(s)
         .getOrElse(s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0))
         .select(col("a"), col("b")).orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------- streaming cluster resolution (driver-gated) ----------------
+    // the same three-micro-batch drain, now with the kept/redirect table
+    // maintained incrementally (affected clusters only, latest-wins rows);
+    // the drained resolution view must equal the one-shot BATCH
+    // resolveClusters over the whole union — the oracle is q_dedup_resolve's
+    // replay verbatim (same fixture, same survivor rule)
+    "q_stream_resolve" -> ((s, dir) => {
+      import java.nio.file.Files
+      val src = stageClusterStream(s, dir)
+      val store = graft.snapshot.SnapshotStore(
+        Files.createTempDirectory("graft-qsresolve-store").toString)
+      val corpusT = store.table("corpus")
+      val redirT = store.table("redirects")
+      val ckpt = Files.createTempDirectory("graft-qsresolve-ckpt").toString
+      val q = graft.streaming.DedupStream.ingest(s, src,
+        corpusT, store.table("near_dup_pairs"), store.table("band_index"), ckpt,
+        threshold = 0.8, redirectsTable = Some(redirT),
+        quality = TextAnalysis.qualityScore)
+      q.awaitTermination(180000)
+      val red = graft.streaming.DedupStream.latestRedirects(s, redirT)
+        .select(col("doc_id"), col("survivor_id"))
+      corpusT.read(s)
+        .getOrElse(s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+        .select(col("doc_id"))
+        .join(red, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("survivor_id"), col("doc_id")).as("survivor_id"),
+          (coalesce(col("survivor_id"), col("doc_id")) === col("doc_id")).as("kept"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_lang_quality" -> ((s, dir) => {
@@ -590,6 +631,57 @@ object SparkEntry {
   // Scala stopword lists the Spark side uses (no drift possible)
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Cluster-resolution replay over the cluster fixture: reachability
+    * clustering, then the engine's quality arithmetic (the q_lang_quality
+    * replay, proven hash-equal) picks each cluster's survivor —
+    * argmax(quality), min-id tiebreak. SHARED by q_dedup_resolve (the batch
+    * operator) and q_stream_resolve (the streaming maintenance of the same
+    * decision): both must produce this table exactly.
+    */
+  private lazy val resolveSql: String = {
+    val allStops = sqlList(TextAnalysis.StopwordsByLang.values.flatten.toSeq.distinct)
+    s"""WITH RECURSIVE ${jaccardCtes(clusterAugSql)},
+       |pr AS (SELECT a, b
+       |       FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+       |       WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
+       |nodes AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
+       |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.id),
+       |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |qm AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    len(list_intersect(list_distinct(list_transform(
+       |      list_filter(string_split(text, ' '), x -> x <> ''), t -> lower(t))), $allStops)) AS n_stop,
+       |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct
+       |  FROM aug),
+       |qs AS (
+       |  SELECT doc_id,
+       |    (CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS DOUBLE)
+       |     + CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS DOUBLE)
+       |     + CAST(CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2 THEN 1 ELSE 0 END AS DOUBLE))
+       |    / CAST(3 AS DOUBLE) AS q
+       |  FROM qm),
+       |surv AS (
+       |  SELECT cluster, id AS survivor_id FROM (
+       |    SELECT cl.cluster, cl.id,
+       |           row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.q DESC, cl.id) AS rn
+       |    FROM cl JOIN qs ON qs.doc_id = cl.id) t
+       |  WHERE rn = 1),
+       |mapping AS (
+       |  SELECT cl.id AS doc_id, surv.survivor_id
+       |  FROM cl JOIN surv ON surv.cluster = cl.cluster)
+       |SELECT a.doc_id,
+       |  coalesce(m.survivor_id, a.doc_id) AS survivor_id,
+       |  coalesce(m.survivor_id, a.doc_id) = a.doc_id AS kept
+       |FROM aug a LEFT JOIN mapping m ON m.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
 
   /** DuckDB-equivalent SQL per oracle-checkable query. Table names resolve
     * to the same parquet files; column aliases match the Spark side exactly.
@@ -723,49 +815,12 @@ object SparkEntry {
     // cluster resolution: same reachability replay, then the engine's
     // quality arithmetic (the q_lang_quality replay, proven hash-equal)
     // decides each cluster's survivor — argmax(quality), min-id tiebreak
-    "q_dedup_resolve" -> {
-      val allStops = sqlList(TextAnalysis.StopwordsByLang.values.flatten.toSeq.distinct)
-      s"""WITH RECURSIVE ${jaccardCtes(clusterAugSql)},
-         |pr AS (SELECT a, b
-         |       FROM pairs JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
-         |       WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8),
-         |nodes AS (SELECT a AS id FROM pr UNION SELECT b FROM pr),
-         |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.id),
-         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-         |qm AS (
-         |  SELECT doc_id,
-         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-         |    length(text) AS n_chars,
-         |    len(list_intersect(list_distinct(list_transform(
-         |      list_filter(string_split(text, ' '), x -> x <> ''), t -> lower(t))), $allStops)) AS n_stop,
-         |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct
-         |  FROM aug),
-         |qs AS (
-         |  SELECT doc_id,
-         |    (CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS DOUBLE)
-         |     + CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS DOUBLE)
-         |     + CAST(CASE WHEN CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.2 THEN 1 ELSE 0 END AS DOUBLE))
-         |    / CAST(3 AS DOUBLE) AS q
-         |  FROM qm),
-         |surv AS (
-         |  SELECT cluster, id AS survivor_id FROM (
-         |    SELECT cl.cluster, cl.id,
-         |           row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.q DESC, cl.id) AS rn
-         |    FROM cl JOIN qs ON qs.doc_id = cl.id) t
-         |  WHERE rn = 1),
-         |mapping AS (
-         |  SELECT cl.id AS doc_id, surv.survivor_id
-         |  FROM cl JOIN surv ON surv.cluster = cl.cluster)
-         |SELECT a.doc_id,
-         |  coalesce(m.survivor_id, a.doc_id) AS survivor_id,
-         |  coalesce(m.survivor_id, a.doc_id) = a.doc_id AS kept
-         |FROM aug a LEFT JOIN mapping m ON m.doc_id = a.doc_id
-         |ORDER BY a.doc_id""".stripMargin
-    },
+    "q_dedup_resolve" -> resolveSql,
+
+    // streaming cluster resolution: the stream drains the SAME fixture the
+    // batch query reads, and its maintained redirect view must equal the
+    // one-shot batch resolution — so the oracle is shared verbatim
+    "q_stream_resolve" -> resolveSql,
 
     "q_dedup_embedding" ->
       """WITH base AS (

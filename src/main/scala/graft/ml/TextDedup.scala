@@ -731,6 +731,27 @@ object TextDedup {
     // drop audit intentionally off: membership is decided here, and the
     // same generator runs WITH the audit wherever pairs are the product
     val pairs = jaccardPairsOnBase(base, threshold, logDrops = false)
+    val mapped = memberRedirects(docs, pairs, quality, idCol, textCol)
+      .select($"doc_id", $"survivor_id")
+    docs.select(col(idCol).as("doc_id")).join(mapped, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"survivor_id", $"doc_id").as("survivor_id"),
+        (coalesce($"survivor_id", $"doc_id") === $"doc_id").as("kept"))
+  }
+
+  /** The member half of [[resolveClusters]], over an EXPLICIT pair set:
+    * (doc_id, survivor_id, kept) rows for exactly the docs appearing in
+    * `pairs` — connected components over the pair graph, then the same
+    * survivor rule (argmax `quality`, ties to the smallest doc_id), with
+    * quality read via a member-ids-only inner join against `docs`.
+    * Non-members never pay the quality evaluation and no corpus-wide join
+    * happens here, which is what makes it the incremental maintenance unit
+    * [[graft.streaming.DedupStream]] re-runs per micro-batch over only the
+    * AFFECTED clusters' edges. [[resolveClusters]] is this plus one left
+    * join of the corpus for the implicit singletons.
+    */
+  def memberRedirects(docs: DataFrame, pairs: DataFrame, quality: Column => Column,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cc = connectedComponents(pairs.select($"a", $"b"))
     val members = cc.join(
         docs.select(col(idCol).as("doc_id"), quality(col(textCol)).as("q")),
@@ -741,13 +762,9 @@ object TextDedup {
       .groupBy($"cluster")
       .agg(max(struct($"q", (-$"doc_id").as("nid"))).as("w"))
       .select($"cluster", (-$"w.nid").as("survivor_id"))
-    val mapped = members.select($"doc_id", $"cluster")
+    members.select($"doc_id", $"cluster")
       .join(survivors, Seq("cluster"))
-      .select($"doc_id", $"survivor_id")
-    docs.select(col(idCol).as("doc_id")).join(mapped, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"survivor_id", $"doc_id").as("survivor_id"),
-        (coalesce($"survivor_id", $"doc_id") === $"doc_id").as("kept"))
+      .select($"doc_id", $"survivor_id", ($"survivor_id" === $"doc_id").as("kept"))
   }
 
   /** Embedding-cosine near-dup pairs: unit-normalize, LSH-bucket by the

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import graft.ml.TextDedup
+import graft.ml.{TextAnalysis, TextDedup}
 import graft.snapshot.SnapshotTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -18,19 +18,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     stats), and the exact verify re-reads only candidate-pair ids. Per-
   *     batch cost is O(delta + candidates), independent of corpus size —
   *     the property that lets the stream run forever at 100 TB;
-  *  2. three generation-guarded appends, in order: pairs, then the delta's
+  *  2. generation-guarded appends, in order: pairs, then (when a
+  *     `redirectsTable` is given) the rewritten redirect rows of the
+  *     clusters this batch's pairs touch, then the delta's
   *     [[TextDedup.bandIndexOf]] rows (bucketed by bkey — the index commit
   *     chunks read back exchange-free, same layout as the crawl engine's
   *     seen table), then the delta itself. foreachBatch is at-least-once: a
   *     crash in any window replays the batch and the per-table guards
-  *     re-run exactly the missing appends — pairs are always computed
-  *     against corpus/index states EXCLUDING the current batch, which the
-  *     append order preserves across replays.
+  *     re-run exactly the missing appends — pairs AND redirects are always
+  *     computed against corpus/index states EXCLUDING the current batch,
+  *     which the append order preserves across replays.
   *
-  * The index table's commit chain is folded by the same size-tiered minor
-  * compaction as the crawl engine's seen table ([[SnapshotTable
-  * .compactTiered]], fired when the chain reaches `autoCompactDirs`), so a
-  * long-running stream never decays into thousand-dir reads.
+  * The index and redirects tables' commit chains are folded by the same
+  * size-tiered minor compaction as the crawl engine's seen table
+  * ([[SnapshotTable.compactTiered]], fired when a chain reaches
+  * `autoCompactDirs`), so a long-running stream never decays into
+  * thousand-dir reads.
   *
   * ==Stream == batch (exact, not approximate)==
   * The drained pairs table equals [[TextDedup.minhashNearDups]] over the
@@ -45,6 +48,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * result, independent of arrival order. DedupStreamSpec pins this on a
   * planted corpus with within-batch and cross-batch duplicates.
   *
+  * ==Continuous cluster resolution (the kept set)==
+  * With a `redirectsTable`, the stream also maintains the decision a dedup
+  * pipeline actually applies: every cluster member maps to its cluster's
+  * argmax-`quality` survivor ([[TextDedup.resolveClusters]] semantics; docs
+  * in no cluster are implicit singletons). Maintenance is incremental and
+  * AFFECTED-CLUSTERS-ONLY: the batch's new pairs name the touched
+  * components; their current members come back as (doc → survivor) star
+  * edges from the redirects table itself (a contracted, exact encoding of
+  * the old components); [[TextDedup.memberRedirects]] re-resolves new pairs
+  * ∪ those stars and the rewritten rows append stamped with the batch
+  * generation — LATEST-WINS, read back through [[latestRedirects]]
+  * (merge-on-read, the same pattern as a position-delete lakehouse table).
+  * Per-batch cost is O(new pairs + affected-cluster members), never
+  * O(corpus) and never O(all clusters). Clusters only grow (pairs are only
+  * added), so rows are only ever superseded, never deleted. The drained
+  * view equals the batch [[TextDedup.resolveClusters]] over the whole
+  * corpus — survivor choice is an argmax over full final membership with a
+  * deterministic tiebreak, so arrival order cannot leak in (DedupStreamSpec
+  * pins stream == batch on a fixture whose clusters merge across batches).
+  *
   * State lives in the snapshot tables, not the streaming state store —
   * nothing here grows with the stream except the lakehouse tables
   * themselves (the corpus table is the same one ingest maintains anyway),
@@ -56,7 +79,9 @@ object DedupStream {
     * default (drain-what-exists, then stop); pass a processing-time trigger
     * for a live tail. `corpusTable` accumulates every streamed doc;
     * `indexTable` its band-index rows (bucketed by bkey); `pairsTable`
-    * (a, b) near-dup pairs at `threshold`.
+    * (a, b) near-dup pairs at `threshold`; `redirectsTable` (optional) the
+    * latest-wins (doc_id, survivor_id, kept, gen) cluster-resolution rows
+    * under `quality`.
     */
   def ingest(spark: SparkSession, srcDir: String,
              corpusTable: SnapshotTable, pairsTable: SnapshotTable,
@@ -65,7 +90,9 @@ object DedupStream {
              trigger: Trigger = Trigger.AvailableNow(),
              maxFilesPerTrigger: Int = 1,
              indexBuckets: Int = 32,
-             autoCompactDirs: Int = 16): StreamingQuery =
+             autoCompactDirs: Int = 16,
+             redirectsTable: Option[SnapshotTable] = None,
+             quality: Column => Column = TextAnalysis.qualityScore): StreamingQuery =
     spark.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
@@ -73,25 +100,50 @@ object DedupStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(spark, corpusTable, pairsTable, indexTable, batch, batchId,
-          threshold, indexBuckets, autoCompactDirs)
+          threshold, indexBuckets, autoCompactDirs, redirectsTable, quality)
       }
       .start()
 
-  /** One micro-batch: pairs-then-index-then-corpus appends under per-table
-    * generation guards (see class doc for the replay analysis; pairs commits
-    * FIRST so its recompute only ever sees index/corpus states without the
-    * current batch). Package-visible so the replay interleavings are
-    * directly testable.
+  /** The current (doc_id, survivor_id, kept) view of an append-only
+    * redirects table: each batch appends the rewritten rows of its affected
+    * clusters stamped with its generation, so a doc's CURRENT mapping is
+    * its highest-`gen` row. Merge-on-read; [[SnapshotTable.compactTiered]]
+    * folds the chunk chain without touching row contents, so compaction
+    * never changes this view. Empty table → empty view.
+    */
+  def latestRedirects(spark: SparkSession, table: SnapshotTable): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    table.read(spark).map { df =>
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("gen").desc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("survivor_id"), col("kept"))
+    }.getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Boolean)].toDF("doc_id", "survivor_id", "kept")
+    }
+  }
+
+  /** One micro-batch: pairs-then-redirects-then-index-then-corpus appends
+    * under per-table generation guards (see class doc for the replay
+    * analysis; pairs and redirects commit FIRST so their recomputes only
+    * ever see index/corpus states without the current batch). Package-
+    * visible so the replay interleavings are directly testable.
     */
   private[streaming] def commitBatch(spark: SparkSession, corpusTable: SnapshotTable,
                                      pairsTable: SnapshotTable, indexTable: SnapshotTable,
                                      batch: DataFrame, batchId: Long, threshold: Double,
                                      indexBuckets: Int = 32,
-                                     autoCompactDirs: Int = 16): Unit = {
+                                     autoCompactDirs: Int = 16,
+                                     redirectsTable: Option[SnapshotTable] = None,
+                                     quality: Column => Column = TextAnalysis.qualityScore): Unit = {
     import spark.implicits._
     val gen = batchId.toInt + 1
     val delta = batch.select(col("doc_id"), col("text"))
-    if (!pairsTable.currentSnapshot.exists(_.generation >= gen)) {
+    val needPairs = !pairsTable.currentSnapshot.exists(_.generation >= gen)
+    val needRedirects =
+      redirectsTable.exists(t => !t.currentSnapshot.exists(_.generation >= gen))
+    if (needPairs || needRedirects) {
       val corpus = corpusTable.read(spark)
         .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "text"))
       val index = indexTable.readCommitChunks(spark)
@@ -100,18 +152,53 @@ object DedupStream {
           .toDF("id", "band", "bsig", "bkey"))
       // drop audit off: the generator's bucket-cap audit is a second pass
       // over the band rows per BATCH; audit the batch-mode run instead
-      val pairs = TextDedup
+      val raw = TextDedup
         .minhashNearDupsIndexed(corpus, index, delta, threshold, logDrops = false)
         .select(col("a"), col("b"))
-      pairsTable.append(pairs, generation = gen)
+      // redirect maintenance consumes the pair set twice (endpoints, edges)
+      // on top of the append — materialize once; pairs are tiny (dup rate)
+      val pairs = if (needRedirects) raw.localCheckpoint(true) else raw
+      if (needPairs) pairsTable.append(pairs, generation = gen)
+      if (needRedirects && !pairs.isEmpty) redirectsTable.foreach { rt =>
+        rt.append(
+          updatedRedirects(spark, rt, corpus.unionByName(delta), pairs, quality)
+            .withColumn("gen", lit(gen)),
+          generation = gen)
+      }
     }
     if (!indexTable.currentSnapshot.exists(_.generation >= gen))
       indexTable.appendBucketed(TextDedup.bandIndexOf(delta), generation = gen,
         buckets = indexBuckets, bucketCol = "bkey")
     if (!corpusTable.currentSnapshot.exists(_.generation >= gen))
       corpusTable.append(delta, generation = gen)
-    if (autoCompactDirs > 0 && indexTable.commitDirCount >= autoCompactDirs)
-      indexTable.compactTiered(spark, math.max(1, autoCompactDirs / 2))
+    if (autoCompactDirs > 0) {
+      if (indexTable.commitDirCount >= autoCompactDirs)
+        indexTable.compactTiered(spark, math.max(1, autoCompactDirs / 2))
+      redirectsTable.foreach(rt => if (rt.commitDirCount >= autoCompactDirs)
+        rt.compactTiered(spark, math.max(1, autoCompactDirs / 2)))
+    }
     ()
+  }
+
+  /** The rewritten redirect rows a new pair set demands: the pairs'
+    * endpoints name the affected roots (their current survivor, or
+    * themselves when unmapped); the affected clusters' full membership
+    * comes back as (doc → survivor) star edges — an exact contracted
+    * encoding of the old components — and [[TextDedup.memberRedirects]]
+    * re-resolves stars ∪ new pairs with fresh quality reads for members
+    * only. `docs` must carry every pair endpoint's text (corpus ∪ delta).
+    */
+  private def updatedRedirects(spark: SparkSession, rt: SnapshotTable, docs: DataFrame,
+                               pairs: DataFrame, quality: Column => Column): DataFrame = {
+    val old = latestRedirects(spark, rt)
+    val endpoints = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    val roots = endpoints
+      .join(old.select(col("doc_id"), col("survivor_id")), Seq("doc_id"), "left")
+      .select(coalesce(col("survivor_id"), col("doc_id")).as("survivor_id")).distinct()
+    val stars = old.join(roots, Seq("survivor_id"), "left_semi")
+      .filter(col("doc_id") =!= col("survivor_id"))
+      .select(col("doc_id").as("a"), col("survivor_id").as("b"))
+    TextDedup.memberRedirects(docs, pairs.unionByName(stars), quality)
   }
 }

@@ -31,13 +31,16 @@ class DedupStreamSpec extends AnyFunSuite {
   }
 
   // three micro-batches with duplicates WITHIN a batch, ACROSS adjacent
-  // batches, and a 3-doc cluster split across batches
+  // batches, a 3-doc cluster split across batches, and a late arrival
+  // (2005) that joins a cluster ALREADY resolved two batches earlier —
+  // the affected-cluster-rewrite path of the redirect maintenance
   private lazy val (srcDir, allDocs) = {
     val d = Files.createTempDirectory("graft-dstream-src")
     val f0 = (0 until 20).map(i => (i.toLong, doc(i))) :+ (1005L, doc(5) + " zzz")
     val f1 = (20 until 40).map(i => (i.toLong, doc(i))) :+ (1000L, doc(0) + " zzz")
     val f2 = (40 until 50).map(i => (i.toLong, doc(i))) ++
-      Seq((1025L, doc(25) + " zzz"), (1040L, doc(40) + " zzz"), (2040L, doc(40) + " yyy"))
+      Seq((1025L, doc(25) + " zzz"), (1040L, doc(40) + " zzz"), (2040L, doc(40) + " yyy"),
+        (2005L, doc(5) + " zzz www"))
     writeFile(d, "0.parquet", f0)
     writeFile(d, "1.parquet", f1)
     writeFile(d, "2.parquet", f2)
@@ -54,7 +57,9 @@ class DedupStreamSpec extends AnyFunSuite {
     val indexT = store.table("band_index")
     val ckpt = Files.createTempDirectory("graft-dstream-ckpt").toString
 
-    val q = DedupStream.ingest(spark, srcDir, corpusT, pairsT, indexT, ckpt, threshold = 0.8)
+    val redirT = store.table("redirects")
+    val q = DedupStream.ingest(spark, srcDir, corpusT, pairsT, indexT, ckpt,
+      threshold = 0.8, redirectsTable = Some(redirT))
     q.awaitTermination(120000)
 
     val batchPairs = pairSet(TextDedup.minhashNearDups(allDocs.toDF("doc_id", "text"), 0.8))
@@ -64,6 +69,27 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(batchPairs.contains((5L, 1005L)), "within-batch pair missing from the oracle")
     assert(batchPairs.contains((0L, 1000L)), "cross-batch pair missing from the oracle")
     assert(batchPairs.contains((1040L, 2040L)), "delta-internal pair of a split cluster missing")
+    assert(batchPairs.contains((5L, 2005L)), "late join of an already-resolved cluster missing")
+
+    // the maintained redirect view == the one-shot batch resolution over the
+    // whole corpus: members match row-for-row; docs absent from the view are
+    // exactly the batch singletons (implicit doc -> itself)
+    val streamView = DedupStream.latestRedirects(spark, redirT)
+      .select($"doc_id", $"survivor_id", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batchResolve = TextDedup
+      .resolveClusters(allDocs.toDF("doc_id", "text"), 0.8, graft.ml.TextAnalysis.qualityScore)
+      .select($"doc_id", $"survivor_id", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batchMembers = batchResolve.filter { case (d, s, _) =>
+      batchPairs.exists(p => p._1 == d || p._2 == d || p._1 == s || p._2 == s) }
+    assert(streamView == batchMembers,
+      s"extra=${streamView -- batchMembers} missing=${batchMembers -- streamView}")
+    // the late arrival REWROTE the cluster resolved two batches earlier:
+    // 5, 1005, 2005 share one final survivor
+    val merged = streamView.filter { case (d, _, _) => Set(5L, 1005L, 2005L)(d) }
+    assert(merged.size == 3 && merged.map(_._2).size == 1,
+      s"late-merged cluster not rewritten to one survivor: $merged")
     // corpus table accumulated every streamed doc, one generation per file
     assert(corpusT.read(spark).get.count() == allDocs.size)
     assert(corpusT.currentSnapshot.exists(_.generation == 3))
@@ -82,27 +108,35 @@ class DedupStreamSpec extends AnyFunSuite {
     val corpusT = store.table("corpus")
     val pairsT = store.table("near_dup_pairs")
     val indexT = store.table("band_index")
+    val redirT = store.table("redirects")
     val b0 = (0 until 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val b1 = Seq((1000L, doc(0) + " zzz")).toDF("doc_id", "text")
 
-    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b0, batchId = 0L, threshold = 0.8)
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b0, batchId = 0L,
+      threshold = 0.8, redirectsTable = Some(redirT))
     val (c0, p0, i0) =
       (corpusT.currentSnapshot.get, pairsT.currentSnapshot.get, indexT.currentSnapshot.get)
+    // a pair-free batch must not write redirect rows (state already correct)
+    assert(redirT.currentSnapshot.isEmpty, "empty pair set must not append redirects")
     // crash after the checkpoint window -> Spark replays the SAME batch id
-    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b0, batchId = 0L, threshold = 0.8)
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b0, batchId = 0L,
+      threshold = 0.8, redirectsTable = Some(redirT))
     assert(corpusT.currentSnapshot.get.snapshotId == c0.snapshotId)
     assert(pairsT.currentSnapshot.get.snapshotId == p0.snapshotId)
     assert(indexT.currentSnapshot.get.snapshotId == i0.snapshotId)
+    assert(redirT.currentSnapshot.isEmpty)
 
-    // partial crash: batch 1's PAIRS append committed, index and corpus
-    // appends did not (the window right after the first append) — replay
-    // must complete BOTH missing appends without duplicating pairs
+    // partial crash: batch 1's PAIRS append committed, redirects, index and
+    // corpus appends did not (the window right after the first append) —
+    // replay must complete ALL THREE missing appends without duplicating
+    // pairs, and the redirect recompute must see the corpus EXCLUDING b1
     val prePairs = TextDedup
       .minhashNearDupsIncremental(corpusT.read(spark).get, b1, 0.8, logDrops = false)
       .select($"a", $"b")
     pairsT.append(prePairs, generation = 2)
     val pAfterManual = pairsT.currentSnapshot.get
-    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b1, batchId = 1L, threshold = 0.8)
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b1, batchId = 1L,
+      threshold = 0.8, redirectsTable = Some(redirT))
     assert(pairsT.currentSnapshot.get.snapshotId == pAfterManual.snapshotId,
       "replay must not re-append pairs")
     assert(corpusT.currentSnapshot.exists(m => m.generation == 2 && m.rowCount == 6),
@@ -110,5 +144,11 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(indexT.currentSnapshot.exists(_.generation == 2),
       "replay must complete the missing index append")
     assert(pairSet(pairsT.read(spark).get) == Set((0L, 1000L)))
+    assert(redirT.currentSnapshot.exists(_.generation == 2),
+      "replay must complete the missing redirects append")
+    // equal quality (no stopwords in the hash-word fixture) -> min-id tie
+    val view = DedupStream.latestRedirects(spark, redirT)
+      .select($"doc_id", $"survivor_id", $"kept").as[(Long, Long, Boolean)].collect().toSet
+    assert(view == Set((0L, 0L, true), (1000L, 0L, false)))
   }
 }
