@@ -124,6 +124,26 @@ object DedupStream {
     }
   }
 
+  /** MAJOR compaction of a latest-wins redirects table: rewrite it to
+    * exactly its current [[latestRedirects]] view — one row per doc, every
+    * superseded generation's row dropped — so the merge-on-read window
+    * never pays for history a long-running stream no longer needs. The
+    * between-runs maintenance pass, same division of labour as the crawl
+    * engine's seen table: in-run folding stays the size-tiered minor
+    * compact (never rewrites large dirs), this is the O(view) full fold.
+    * The table generation is preserved, so batch replay guards and future
+    * appends are unaffected; surviving rows are re-stamped with it (they
+    * are the latest by construction — order among equals is irrelevant
+    * because each doc now has exactly one row).
+    */
+  def compactRedirects(spark: SparkSession, table: SnapshotTable): Unit =
+    table.currentSnapshot.foreach { cur =>
+      table.replace(
+        latestRedirects(spark, table).withColumn("gen", lit(cur.generation)),
+        generation = cur.generation)
+      ()
+    }
+
   /** One micro-batch: pairs-then-redirects-then-index-then-corpus appends
     * under per-table generation guards (see class doc for the replay
     * analysis; pairs and redirects commit FIRST so their recomputes only

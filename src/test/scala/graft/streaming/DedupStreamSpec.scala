@@ -151,4 +151,47 @@ class DedupStreamSpec extends AnyFunSuite {
       .select($"doc_id", $"survivor_id", $"kept").as[(Long, Long, Boolean)].collect().toSet
     assert(view == Set((0L, 0L, true), (1000L, 0L, false)))
   }
+
+  test("compactRedirects folds latest-wins history to one row per doc; the stream keeps working after") {
+    val store = SnapshotStore(Files.createTempDirectory("graft-dstream-compact").toString)
+    val corpusT = store.table("corpus")
+    val pairsT = store.table("near_dup_pairs")
+    val indexT = store.table("band_index")
+    val redirT = store.table("redirects")
+    // batch 0: a 2-cluster {0, 1000} plus the singleton 7; batch 1: 2000
+    // joins the cluster (supersedes 0's and 1000's rows); batch 2: an
+    // unrelated pair {7, 1007}
+    val b0 = Seq((0L, doc(0)), (1000L, doc(0) + " zzz"), (7L, doc(7))).toDF("doc_id", "text")
+    val b1 = Seq((2000L, doc(0) + " zzz www")).toDF("doc_id", "text")
+    val b2 = Seq((1007L, doc(7) + " zzz")).toDF("doc_id", "text")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b, batchId = i.toLong,
+        threshold = 0.8, redirectsTable = Some(redirT))
+    }
+    val before = DedupStream.latestRedirects(spark, redirT)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(redirT.read(spark).get.count() > before.size,
+      "fixture must actually contain superseded rows")
+    DedupStream.compactRedirects(spark, redirT)
+    val after = DedupStream.latestRedirects(spark, redirT)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(after == before, "compaction must not change the view")
+    assert(redirT.read(spark).get.count() == before.size, "superseded rows must be gone")
+    // generation preserved: a replayed batch stays a no-op...
+    val genBefore = redirT.currentSnapshot.get.generation
+    val sBefore = redirT.currentSnapshot.get.snapshotId
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b2, batchId = 2L,
+      threshold = 0.8, redirectsTable = Some(redirT))
+    assert(redirT.currentSnapshot.get.generation == genBefore)
+    assert(redirT.currentSnapshot.get.snapshotId == sBefore)
+    // ...and a NEW batch still merges into (and rewrites) the folded cluster
+    val b3 = Seq((3000L, doc(0) + " zzz www yyy")).toDF("doc_id", "text")
+    DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b3, batchId = 3L,
+      threshold = 0.8, redirectsTable = Some(redirT))
+    val v = DedupStream.latestRedirects(spark, redirT)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val cluster = v.filter { case (d, _, _) => Set(0L, 1000L, 2000L, 3000L)(d) }
+    assert(cluster.size == 4 && cluster.map(_._2).size == 1,
+      s"post-compact merge must rewrite the folded cluster: $cluster")
+  }
 }
