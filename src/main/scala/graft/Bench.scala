@@ -438,9 +438,19 @@ object Bench {
       // BENCH_QUERY_FILTER=a,b,c: time only the named queries (iteration aid;
       // the recorded artifact always runs the full set)
       val filter = sys.env.get("BENCH_QUERY_FILTER").map(_.split(",").toSet)
+      val queryGc = !sys.env.get("BENCH_QUERY_GC").contains("0")
       val r = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => filter.forall(_.contains(n)) }
         .map { case (name, fn) =>
+        // isolate queries from each other's retained JVM state: persisted /
+        // localCheckpoint blocks of a finished query are only reaped when a
+        // GC collects its dead plan objects and the ContextCleaner fires —
+        // and a large -Xms/-Xmx heap (the driver runs 64g) can go the whole
+        // leg without one, so later queries otherwise time OTHER queries'
+        // block-manager debris (measured: q_dedup_simhash 9.7s alone vs 55s
+        // after three dedup queries; 6.2s at 8g heap where GC runs anyway).
+        // The gc runs OUTSIDE the timed window. BENCH_QUERY_GC=0 disables.
+        if (queryGc) { System.gc(); Thread.sleep(200) }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

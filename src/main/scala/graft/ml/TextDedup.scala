@@ -494,15 +494,18 @@ object TextDedup {
     expr(s"simhash64(`$textCol`)")
   }
 
-  /** SimHash candidate pairs with GUARANTEED recall at `maxHamming`: the 64
-    * bits band into maxHamming+1 chunks, so any pair within maxHamming bits
-    * differs in at most maxHamming chunks and must agree on at least one
-    * (pigeonhole) — banding is lossless for the claimed radius, unlike a
-    * fixed 4-chunk split checked against radius 6. Pair expansion is a
-    * bucket-key self-join (streamed); oversized buckets are shed and logged.
+  /** SimHash candidate pairs, EXACT at `maxHamming`: the 64 bits band into
+    * maxHamming+1 chunks, so any pair within maxHamming bits differs in at
+    * most maxHamming chunks and must agree on at least one (pigeonhole) —
+    * banding is lossless for the claimed radius, unlike a fixed 4-chunk
+    * split checked against radius 6 — and the radius is ENFORCED inside
+    * the bucket self-join, so chance bucket cohabitants (pairs agreeing on
+    * one 9-10-bit chunk by luck; the n²-growing term) never reach the
+    * caller. Pair expansion is a bucket-key self-join (streamed);
+    * oversized buckets are shed and logged.
     */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", maxHamming: Int = 6,
+                        textCol: String = "text", maxHamming: Int = 8,
                         maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
     // codegen'd native simhash64 expression — one corpus scan, no ScalaUDF
     val withSh = docs.select(col(idCol).as("id"), simhash64Col(docs, textCol).as("sh"))
@@ -538,20 +541,37 @@ object TextDedup {
     val inBucket = banded.join(
       counts.filter($"cnt" > 1 && $"cnt" <= maxBucket).select($"chunk", $"bits"),
       Seq("chunk", "bits"), "left_semi")
+    // the radius cut lives IN the join condition: bucket cohabitation is
+    // only a necessary condition (9-10 bits of agreement), and chance
+    // cohabitants — n²/2^width of them, the asymptotically dominant term —
+    // must die here, on an 8-byte bit_count inside the join's codegen,
+    // NOT downstream where each false pair would ride the distinct() and
+    // then drag two shingle-set arrays through the Jaccard verify's
+    // shuffle (measured at sf0.1: 3.3M bucket-cohabiting pairs vs 796
+    // radius-true ones — the unfiltered verify moved ~10 GB to reject
+    // 99.98% of its input)
     inBucket.as("x").join(inBucket.as("y"),
       col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits") &&
-        col("x.id") < col("y.id"))
+        col("x.id") < col("y.id") &&
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
       .distinct()
   }
 
   /** SimHash near-dups, exact-verified: Hamming-radius candidates (lossless
-    * banding) filtered by the TRUE shingle-Jaccard threshold, making the
-    * output hash-independent and oracle-checkable: docs at Jaccard ≥ 0.9
-    * differ in a handful of tokens, each flipping E[·]≈3.6 of 64 SimHash
-    * bits, so radius-`maxHamming` candidates cover them and the verified
-    * output equals the exhaustive exact-Jaccard pair set.
+    * banding, radius enforced in the join) filtered by the TRUE shingle-
+    * Jaccard threshold, making the output hash-independent and oracle-
+    * checkable: docs at Jaccard ≥ 0.9 differ in a handful of tokens, each
+    * flipping E[·]≈3.6 of 64 SimHash bits, so radius-`maxHamming`
+    * candidates cover them and the verified output equals the exhaustive
+    * exact-Jaccard pair set. The radius-covers-the-threshold claim is
+    * CORPUS-DEPENDENT (short docs concentrate flips: a measured 11-token
+    * doc at exactly J = 0.9 flipped 7 bits): default radius 8 over the old
+    * 6 buys that headroom, and since the radius cut runs inside the banding
+    * join the wider radius's extra chance cohabitants cost an 8-byte
+    * bit_count each, never a verify row. MlSpec pins the license (every
+    * fixture oracle pair within the default radius, none shed).
     *
     * ONE corpus scan: the simhash signature and the hashed-shingle set are
     * computed in the same projection and materialized together, so the
@@ -563,7 +583,7 @@ object TextDedup {
     */
   def simhashNearDups(docs: DataFrame, jaccardThreshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
-                      maxHamming: Int = 6, shingleSize: Int = 3,
+                      maxHamming: Int = 8, shingleSize: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
     val words = filter(split(col(textCol), " "), t => t =!= "")
     val base = parallelFloor(docs).where(size(words) >= shingleSize)

@@ -68,16 +68,18 @@ class MlSpec extends AnyFunSuite {
     // bucket. Pin both preconditions explicitly so a fixture change that
     // silently breaks them fails HERE, not nondeterministically in the
     // driver gate. (Radius vs doc length: a 1-token edit on an n-token doc
-    // flips E ~ 64*0.056 ~ 3.6 bits; J=0.9 on SHORT docs can flip >6 of 64
-    // bits — this test is what licenses radius 6 for this fixture family.)
+    // flips E ~ 64*0.056 ~ 3.6 bits; J=0.9 on SHORT docs concentrates the
+    // flips — the sf0.01 driver fixture has an 11-token doc whose planted
+    // pair lands at hamming 7, which is what moved the default radius to 8.
+    // This test licenses that default for the fixture family.)
     val oracle = TextDedup.jaccardPairsFromTokens(TextDedup.shingleTokens(planted, 3), 0.9)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     val sh = planted.as[(Long, String)].collect()
       .map { case (id, t) => id -> TextDedup.simhash64Kernel(t) }.toMap
-    // (1) radius: every oracle pair within hamming 6
+    // (1) radius: every oracle pair within the DEFAULT radius (8)
     oracle.foreach { case (a, b) =>
       val d = java.lang.Long.bitCount(sh(a) ^ sh(b))
-      assert(d <= 6, s"oracle pair ($a,$b) at hamming $d > radius 6")
+      assert(d <= 8, s"oracle pair ($a,$b) at hamming $d > radius 8")
     }
     // (2) shedding: with the production maxBucket, every oracle pair still
     // surfaces as a candidate (i.e. shares at least one unshed chunk bucket)
