@@ -375,7 +375,9 @@ object TextDedup {
                                  shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
                                  maxBucket: Int = 1000, logDrops: Boolean = true): DataFrame = {
     val baseD = shingleDocBase(delta, shingleSize, idCol, textCol)
-    val bandedD = minhashBanded(baseD, numHashes, bands).localCheckpoint(false)
+    // eager for the same reason as the indexed form: every downstream eager
+    // point holds this plan as a subtree
+    val bandedD = minhashBanded(baseD, numHashes, bands).localCheckpoint(true)
     val deltaKeys = bandedD.select($"band", $"bsig").distinct()
     val corpusToks = shingleDocProjection(parallelFloor(corpus), shingleSize, idCol, textCol)
     // delta-sized after the semi-join: only corpus rows in delta-occupied
@@ -411,35 +413,116 @@ object TextDedup {
     * [[bandIndexOf]] rows (typically the union of a bucketed snapshot
     * table's commit chunks), so candidate generation reads (id, band, bsig,
     * bkey) rows — never corpus text — and when the delta occupies at most
-    * `pruneMaxKeys` distinct buckets the read is narrowed further to
+    * `inListCap` distinct buckets the read is narrowed further to
     * `bkey IN (delta's keys)`: an 8-byte-key filter that pushes down to the
     * index scans (parquet row-group stats + bucket pruning on a
-    * bucket-stored index — PlanSpec asserts `SelectedBucketsCount`; the
-    * file-level skip holds even when the planner disables the bucketed
-    * OUTPUT partitioning for a filter-only probe — the non-bucketed read
-    * path still drops files by the bucket id in their names). bkey
+    * bucket-stored index — PlanSpec asserts `SelectedBucketsCount`). The
+    * cap exists because Catalyst's plan walk and parquet's stat check are
+    * linear in the literal count — a multi-thousand-key list costs more
+    * than it saves (measured ~5 s/batch at 4-8k literals); larger deltas
+    * rely on the (band, bsig) semi-join, or on the TABLE form below, whose
+    * file-level bucket skip has no plan-side cost at any key count. bkey
     * collisions only ADD candidate rows; the exact (band, bsig) semi-join
     * below removes them, so pruning never changes the output (MlSpec pins
     * pruned == unpruned == recomputed). The verify stage still re-reads
     * only candidate-pair ids from the raw corpus, as in the recomputing
-    * form. `pruneMaxKeys <= 0` disables pruning.
+    * form. `pruneMaxKeys <= 0` disables key collection entirely.
     */
   def minhashNearDupsIndexed(corpus: DataFrame, bandIndex: DataFrame, delta: DataFrame,
                              threshold: Double,
                              idCol: String = "doc_id", textCol: String = "text",
                              shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
                              maxBucket: Int = 1000, logDrops: Boolean = true,
-                             pruneMaxKeys: Int = 1 << 15): DataFrame = {
+                             pruneMaxKeys: Int = 1 << 15,
+                             inListCap: Int = defaultInListCap): DataFrame =
+    indexedCore(corpus, delta, threshold, idCol, textCol, shingleSize, numHashes,
+      bands, maxBucket, logDrops, pruneMaxKeys,
+      keys => inFiltered(bandIndex, keys, inListCap))
+
+  /** [[minhashNearDupsIndexed]] reading the index straight from its
+    * SNAPSHOT TABLE, which unlocks the pruning that matters at scale:
+    * FILE-level bucket skip. The delta's collected `bkey`s map driver-side
+    * to the storage-bucket ids the index writer stamped into its file names
+    * ([[graft.snapshot.SnapshotStore.bucketIdOfLong]] — the same
+    * pmod(murmur3) `repartition(n, col)` used), and only matching files are
+    * listed into the scan — the read is O(occupied buckets / total buckets)
+    * of the index with no plan-side cost at all. The literal `bkey IN`
+    * row-group filter is still applied, but only when the key list is small
+    * (`inListCap`): Catalyst's analysis/folding walk and parquet's stat
+    * evaluation are LINEAR in the literal count, and a measured 4-8k-literal
+    * list cost ~5 s/micro-batch at sf0.1 — more than the whole unpruned
+    * index read it was saving. bkey collisions only ADD candidate rows and
+    * the exact (band, bsig) semi-join removes them, so neither pruning layer
+    * changes the output (MlSpec pins table == DataFrame == recomputed).
+    */
+  def minhashNearDupsIndexed(corpus: DataFrame, indexTable: graft.snapshot.SnapshotTable,
+                             delta: DataFrame, threshold: Double,
+                             idCol: String, textCol: String,
+                             shingleSize: Int, numHashes: Int, bands: Int,
+                             maxBucket: Int, logDrops: Boolean,
+                             pruneMaxKeys: Int, inListCap: Int): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    def fullIndex: DataFrame = indexTable.readCommitChunks(spark)
+      .map(_.reduce(_ unionByName _))
+      .getOrElse(emptyIndex(spark))
+    indexedCore(corpus, delta, threshold, idCol, textCol, shingleSize, numHashes,
+      bands, maxBucket, logDrops, pruneMaxKeys, {
+        case Some(ks) =>
+          val occupied = scala.collection.mutable.HashMap.empty[Int, Set[Int]]
+          def keep(n: Int, b: Int): Boolean = occupied.getOrElseUpdate(n,
+            ks.iterator.map(graft.snapshot.SnapshotStore.bucketIdOfLong(_, n)).toSet)(b)
+          indexTable.readBucketSkipped(spark, keep)
+            .map(df => inFiltered(df, Some(ks), inListCap))
+            .getOrElse(emptyIndex(spark))
+        case None => fullIndex
+      })
+  }
+
+  /** [[minhashNearDupsIndexed]] (table form) with the usual defaults. */
+  def minhashNearDupsIndexed(corpus: DataFrame, indexTable: graft.snapshot.SnapshotTable,
+                             delta: DataFrame, threshold: Double): DataFrame =
+    minhashNearDupsIndexed(corpus, indexTable, delta, threshold, "doc_id", "text",
+      3, 32, 16, 1000, true, 1 << 15, defaultInListCap)
+
+  /** Literal-`IN` cap: lists beyond this ride the semi-join alone. */
+  private val defaultInListCap: Int = 1024
+
+  private def emptyIndex(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Array[Long], Long)].toDF("id", "band", "bsig", "bkey")
+  }
+
+  private def inFiltered(index: DataFrame, keys: Option[Array[Long]], inListCap: Int): DataFrame =
+    keys.filter(_.length <= inListCap) match {
+      case Some(ks) => index.where($"bkey".isInCollection(ks.toSeq))
+      case None => index
+    }
+
+  /** Shared body of the indexed forms: delta banding + key collection once,
+    * index supplied by `indexFor` (given the collected keys when there are
+    * at most `pruneMaxKeys`, None otherwise).
+    */
+  private def indexedCore(corpus: DataFrame, delta: DataFrame, threshold: Double,
+                          idCol: String, textCol: String, shingleSize: Int,
+                          numHashes: Int, bands: Int, maxBucket: Int,
+                          logDrops: Boolean, pruneMaxKeys: Int,
+                          indexFor: Option[Array[Long]] => DataFrame): DataFrame = {
     val baseD = shingleDocBase(delta, shingleSize, idCol, textCol)
-    val bandedD = withBkey(minhashBanded(baseD, numHashes, bands)).localCheckpoint(false)
+    // EAGER: deltaKeys, the bucket-count base and the pair expansion all
+    // contain this plan as a subtree — materializing it first means the
+    // delta shingle+minhash pipeline runs once per batch, not once per
+    // downstream eager point (measured 2-3× re-evaluation as a lazy
+    // checkpoint: each eager consumer ran the full pipeline before any of
+    // them populated the cache)
+    val bandedD = withBkey(minhashBanded(baseD, numHashes, bands)).localCheckpoint(true)
     val deltaKeys = bandedD.select($"band", $"bsig", $"bkey").distinct()
       .localCheckpoint(true) // one row per delta-occupied bucket — small
-    val pruned =
-      if (pruneMaxKeys > 0 && deltaKeys.count() <= pruneMaxKeys) {
-        val keys = deltaKeys.select($"bkey").distinct().collect().map(_.getLong(0)).toSeq
-        bandIndex.where($"bkey".isInCollection(keys))
-      } else bandIndex
-    val bandedC = pruned.select($"id", $"band", $"bsig")
+    val keys: Option[Array[Long]] =
+      if (pruneMaxKeys > 0 && deltaKeys.count() <= pruneMaxKeys)
+        Some(deltaKeys.select($"bkey").distinct().collect().map(_.getLong(0)))
+      else None
+    val bandedC = indexFor(keys).select($"id", $"band", $"bsig")
       .join(deltaKeys.select($"band", $"bsig"), Seq("band", "bsig"), "left_semi")
       .localCheckpoint(false)
     incrementalTail(corpus, baseD, bandedD.drop("bkey"), bandedC, threshold, idCol,

@@ -258,12 +258,65 @@ final class SnapshotTable(val root: Path, val name: String) {
           java.lang.Integer.toHexString(dir.toString.hashCode)
         val schemaDdl = spark.read.parquet(dir.toString).schema.toDDL
         spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+        // CLUSTERED only — no SORTED BY: the bucketed writer repartitions
+        // but does NOT sort within files, and a sort claim the data doesn't
+        // honour becomes silent SMJ corruption the moment anyone enables
+        // spark.sql.legacy.bucketedTableScan.outputOrdering (off by
+        // default, which is the only reason the claim was inert). The
+        // exchange-free join shape needs only the bucketing.
         spark.sql(s"CREATE TABLE `$ident` ($schemaDdl) USING parquet " +
-          s"CLUSTERED BY (`$bc`) SORTED BY (`$bc`) INTO $n BUCKETS LOCATION '$dir'")
+          s"CLUSTERED BY (`$bc`) INTO $n BUCKETS LOCATION '$dir'")
         spark.table(ident)
       })
     }
   }
+
+  /** Bucket id stamped in a bucketed data file's name (the `_NNNNN` suffix
+    * [[appendBucketed]]'s rename puts before the extension). None for files
+    * from non-bucketed commits.
+    */
+  private def fileBucketId(fileName: String): Option[Int] = {
+    val stem = fileName.indexOf('.') match {
+      case -1 => fileName
+      case i => fileName.substring(0, i)
+    }
+    val u = stem.lastIndexOf('_')
+    if (u < 0) None
+    else {
+      val tail = stem.substring(u + 1)
+      if (tail.nonEmpty && tail.forall(_.isDigit)) Some(tail.toInt) else None
+    }
+  }
+
+  /** Plain scan of the current snapshot restricted to the data files whose
+    * stamped bucket id passes `keep(numBuckets, bucketId)` under their dir's
+    * recorded spec — FILE-level pruning decided at listing time from the
+    * manifest alone, so a probe that knows its occupied buckets reads
+    * O(occupied/total) of the table with ZERO plan-side cost (no thousand-
+    * literal `IN` for Catalyst to fold or parquet to stat-check; contrast
+    * the [[readCommitChunks]] + `isInCollection` route, whose planning cost
+    * grows with the key-list size). Files in dirs without a bucket spec are
+    * always kept (correct, just unpruned). None when the table is empty or
+    * every file was skipped (the caller supplies the empty-case plan).
+    *
+    * The scan does NOT report bucket partitioning (it is a plain
+    * `spark.read.parquet` over the kept paths) — use [[readCommitChunks]]
+    * when a downstream join needs the exchange-free bucketed shape.
+    */
+  def readBucketSkipped(spark: SparkSession, keep: (Int, Int) => Boolean): Option[DataFrame] =
+    currentSnapshot.filter(_.files.nonEmpty).flatMap { cur =>
+      val reg = cur.dirBuckets.getOrElse(Map.empty)
+      val kept = cur.files.filter { f =>
+        val p = Paths.get(f.path)
+        reg.get(p.getParent.getFileName.toString) match {
+          case Some(spec) =>
+            val n = spec.split(":", 2)(0).toInt
+            fileBucketId(p.getFileName.toString).forall(keep(n, _))
+          case None => true
+        }
+      }
+      if (kept.isEmpty) None else Some(spark.read.parquet(kept.map(_.path): _*))
+    }
 
   /** Number of live commit dirs in the current snapshot (manifest-only —
     * no file IO, no Spark job). This is the anti-join chain length a
@@ -434,5 +487,20 @@ object SnapshotStore {
     val p = Paths.get(root)
     Files.createDirectories(p)
     new SnapshotStore(p)
+  }
+
+  /** The storage-bucket id [[SnapshotTable.appendBucketed]] assigns to a
+    * LONG key: `repartition(n, col)` routes rows by
+    * `pmod(murmur3(key, seed=42), n)` and the writer stamps the partition
+    * index into the file name, so this driver-side replica lets a probe
+    * side turn its occupied keys into the file set to read
+    * ([[SnapshotTable.readBucketSkipped]]). Pinned against Spark's own
+    * `pmod(hash(col), n)` by SnapshotStoreSpec — a divergence here would be
+    * a silent candidate-recall loss, not an error.
+    */
+  def bucketIdOfLong(key: Long, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(key, org.apache.spark.sql.types.LongType, 42L).toInt
+    ((h % numBuckets) + numBuckets) % numBuckets
   }
 }

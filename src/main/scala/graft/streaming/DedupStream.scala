@@ -99,8 +99,11 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
         commitBatch(spark, corpusTable, pairsTable, indexTable, batch, batchId,
           threshold, indexBuckets, autoCompactDirs, redirectsTable, quality)
+        if (sys.env.get("GRAFT_STREAM_TIMING").contains("1"))
+          System.err.println(f"[stream-timing] batch=$batchId TOTAL        ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       }
       .start()
 
@@ -158,6 +161,16 @@ object DedupStream {
                                      redirectsTable: Option[SnapshotTable] = None,
                                      quality: Column => Column = TextAnalysis.qualityScore): Unit = {
     import spark.implicits._
+    // GRAFT_STREAM_TIMING=1: per-stage walls to stderr (latency triage aid,
+    // same pattern as GRAFT_PHASE_TIMING on the crawl path)
+    val timing = sys.env.get("GRAFT_STREAM_TIMING").contains("1")
+    def timed[T](name: String)(body: => T): T =
+      if (!timing) body else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[stream-timing] batch=$batchId $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        r
+      }
     val gen = batchId.toInt + 1
     val delta = batch.select(col("doc_id"), col("text"))
     val needPairs = !pairsTable.currentSnapshot.exists(_.generation >= gen)
@@ -166,31 +179,31 @@ object DedupStream {
     if (needPairs || needRedirects) {
       val corpus = corpusTable.read(spark)
         .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "text"))
-      val index = indexTable.readCommitChunks(spark)
-        .map(_.reduce(_ unionByName _))
-        .getOrElse(Seq.empty[(Long, Int, Array[Long], Long)]
-          .toDF("id", "band", "bsig", "bkey"))
       // drop audit off: the generator's bucket-cap audit is a second pass
-      // over the band rows per BATCH; audit the batch-mode run instead
-      val raw = TextDedup
-        .minhashNearDupsIndexed(corpus, index, delta, threshold, logDrops = false)
-        .select(col("a"), col("b"))
+      // over the band rows per BATCH; audit the batch-mode run instead.
+      // The TABLE form prunes the index read by FILE (bucket ids in the
+      // file names) — per-batch read cost tracks the delta's occupied
+      // buckets, not the index size, with zero plan-side literal cost.
+      val raw = timed("candGen")(TextDedup
+        .minhashNearDupsIndexed(corpus, indexTable, delta, threshold,
+          "doc_id", "text", 3, 32, 16, 1000, false, 1 << 15, 1024)
+        .select(col("a"), col("b")))
       // redirect maintenance consumes the pair set twice (endpoints, edges)
       // on top of the append — materialize once; pairs are tiny (dup rate)
-      val pairs = if (needRedirects) raw.localCheckpoint(true) else raw
-      if (needPairs) pairsTable.append(pairs, generation = gen)
-      if (needRedirects && !pairs.isEmpty) redirectsTable.foreach { rt =>
-        rt.append(
+      val pairs = timed("pairs")(if (needRedirects) raw.localCheckpoint(true) else raw)
+      if (needPairs) timed("pairsAppend")(pairsTable.append(pairs, generation = gen))
+      if (needRedirects && !timed("pairsEmpty?")(pairs.isEmpty)) redirectsTable.foreach { rt =>
+        timed("redirects")(rt.append(
           updatedRedirects(spark, rt, corpus.unionByName(delta), pairs, quality)
             .withColumn("gen", lit(gen)),
-          generation = gen)
+          generation = gen))
       }
     }
     if (!indexTable.currentSnapshot.exists(_.generation >= gen))
-      indexTable.appendBucketed(TextDedup.bandIndexOf(delta), generation = gen,
-        buckets = indexBuckets, bucketCol = "bkey")
+      timed("indexAppend")(indexTable.appendBucketed(TextDedup.bandIndexOf(delta), generation = gen,
+        buckets = indexBuckets, bucketCol = "bkey"))
     if (!corpusTable.currentSnapshot.exists(_.generation >= gen))
-      corpusTable.append(delta, generation = gen)
+      timed("corpusAppend")(corpusTable.append(delta, generation = gen))
     if (autoCompactDirs > 0) {
       if (indexTable.commitDirCount >= autoCompactDirs)
         indexTable.compactTiered(spark, math.max(1, autoCompactDirs / 2))

@@ -181,6 +181,26 @@ class MlSpec extends AnyFunSuite {
       .minhashNearDupsIndexed(corpus, index, delta, 0.8, pruneMaxKeys = 0)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(gotIdxNoPrune == want, "bkey pruning must not change the pair set")
+
+    // TABLE form: the index persisted as a bkey-bucketed snapshot table and
+    // read with FILE-level bucket skip (64 buckets so the delta occupies a
+    // proper subset and whole files actually drop). Same pair set with the
+    // literal IN on (small keys) and fully off (inListCap = 0 — the shape
+    // large deltas take at scale, file skip + semi-join alone).
+    val store = graft.snapshot.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("graft-mlidx").toString)
+    val idxT = store.table("band_index")
+    idxT.appendBucketed(TextDedup.bandIndexOf(corpus.filter($"doc_id" < 30)),
+      generation = 1, buckets = 64, bucketCol = "bkey")
+    idxT.appendBucketed(TextDedup.bandIndexOf(corpus.filter($"doc_id" >= 30)),
+      generation = 2, buckets = 64, bucketCol = "bkey")
+    val gotTbl = TextDedup.minhashNearDupsIndexed(corpus, idxT, delta, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(gotTbl == want, s"table-form != restricted batch; extra=${gotTbl -- want} missing=${want -- gotTbl}")
+    val gotTblNoIn = TextDedup.minhashNearDupsIndexed(corpus, idxT, delta, 0.8,
+      "doc_id", "text", 3, 32, 16, 1000, true, 1 << 15, 0)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(gotTblNoIn == want, "file-level bucket skip alone must not change the pair set")
   }
 
   test("simhash verified near-dups equal the exhaustive exact-jaccard pair set") {

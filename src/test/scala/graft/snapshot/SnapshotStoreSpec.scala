@@ -112,6 +112,51 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(t.compact(spark).isEmpty)
   }
 
+  test("bucketIdOfLong replicates the bucketed writer's pmod(murmur3) routing exactly") {
+    // a divergence here is a SILENT recall loss for every file-skipped
+    // probe, so pin the driver-side replica against Spark's own expression
+    // on a spread of keys and bucket counts
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val keys = ((-50L to 50L) ++ Seq(Long.MinValue, Long.MaxValue, 0L)
+      ++ (1 to 50).map(i => graft.util.Hashing.det(3L, i))).distinct
+    Seq(1, 4, 32, 4096).foreach { n =>
+      val fromSpark = keys.toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+        .as[(Long, Int)].collect().toMap
+      keys.foreach { k =>
+        assert(SnapshotStore.bucketIdOfLong(k, n) == fromSpark(k),
+          s"bucket id mismatch for key=$k n=$n")
+      }
+    }
+  }
+
+  test("readBucketSkipped reads exactly the kept buckets' files; plain dirs always kept") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val t = freshTable("bskip")
+    def rows(g: Int) = (1 to 200).map(i => (g * 1000 + i).toLong).toDF("id")
+      .select(xxhash64(col("id")).as("h"), col("id"))
+    t.appendBucketed(rows(1), 1, buckets = 8, bucketCol = "h")
+    t.appendBucketed(rows(2), 2, buckets = 8, bucketCol = "h")
+    val all = t.read(spark).get.select($"h", $"id").as[(Long, Long)].collect()
+    val keep = Set(0, 3, 7)
+    val got = t.readBucketSkipped(spark, (n, b) => { assert(n == 8); keep(b) }).get
+    // exact row set: every row whose key routes to a kept bucket, no others
+    val want = all.filter { case (h, _) => keep(SnapshotStore.bucketIdOfLong(h, 8)) }.toSet
+    assert(got.select($"h", $"id").as[(Long, Long)].collect().toSet == want)
+    assert(want.nonEmpty && want.size < all.length, "fixture must make the skip observable")
+    // and the skip is FILE-level: only kept buckets' files are even listed
+    assert(got.inputFiles.length == 2 * keep.size,
+      s"expected ${2 * keep.size} files, scanned ${got.inputFiles.length}")
+    // a plain (non-bucketed) dir is never skipped
+    t.append(Seq((42L, 42L)).toDF("h", "id"), 3)
+    val withPlain = t.readBucketSkipped(spark, (_, _) => false).get
+    assert(withPlain.as[(Long, Long)].collect().toSet == Set((42L, 42L)))
+    // every file skipped and no plain dir -> None
+    val t2 = freshTable("bskip2")
+    t2.appendBucketed(rows(1), 1, buckets = 8, bucketCol = "h")
+    assert(t2.readBucketSkipped(spark, (_, _) => false).isEmpty)
+  }
+
   test("mixed bucketed/plain dirs: no table-level spec, chunked read falls back per dir") {
     import org.apache.spark.sql.functions.{col, xxhash64}
     val t = freshTable("mixed")
