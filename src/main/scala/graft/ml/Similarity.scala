@@ -142,6 +142,13 @@ object Similarity {
                                sampleN: Int = 4096, idCol: String = "vec_id",
                                vecCol: String = "embedding"): Array[Array[Float]] = {
     import java.nio.file.{Files, StandardCopyOption}
+    // an empty corpus name would make every same-config corpus hash to the
+    // SAME persisted file — the second corpus silently serves the first's
+    // codebook (the cross-corpus collision the plan-keyed memo was hardened
+    // against). Persistence without a real identity is always a bug.
+    require(corpusKey.nonEmpty,
+      "corpusKey must durably name the corpus (e.g. \"<table path>@<snapshot id>\") " +
+        "when persisting codebooks — an empty key collides every same-config corpus")
     val cfgKey = s"$corpusKey#$nlist#$iters#$sampleN#$idCol#$vecCol"
     codebookCache.computeIfAbsent(s"persist#$cfgKey", _ => {
       val digest = java.security.MessageDigest.getInstance("MD5")
@@ -260,7 +267,9 @@ object Similarity {
     import org.apache.spark.sql.functions.{col => c}
     // persistDir + corpusKey (e.g. "<table path>@<snapshot id>") routes the
     // codebook through the cross-session store; default stays the
-    // plan-keyed in-memory memo
+    // plan-keyed in-memory memo. corpusKey is REQUIRED with persistDir
+    // (enforced in kmeansCodebookPersistent) — the default "" exists only
+    // so memo-only callers need not invent a name.
     val codebook = persistDir match {
       case Some(d) => kmeansCodebookPersistent(corpus, d, corpusKey, nlist,
         kmeansIters, idCol = idCol, vecCol = vecCol)

@@ -557,7 +557,15 @@ object TextDedup {
       .unionByName(cands.select($"b".as("id"))).distinct()
     val corpusHits = corpus
       .join(candIds.select($"id".as(idCol)), Seq(idCol), "left_semi")
-    val verifyBase = shingleDocProjection(parallelFloor(corpusHits), shingleSize, idCol, textCol)
+    // unconditional repartition, NOT parallelFloor: the floor reads
+    // .rdd.getNumPartitions, and on a plan containing this join AQE
+    // materializes the join's shuffle stages just to answer that — the
+    // corpus⋉candidates work ran once to count partitions and again in the
+    // verify query. corpusHits is candidate-sized (bounded by the dup
+    // rate), so one explicit exchange is cheap at any scale and gives the
+    // shingle verify full width regardless of how the semi-join planned.
+    val target = corpusHits.sparkSession.sparkContext.defaultParallelism
+    val verifyBase = shingleDocProjection(corpusHits.repartition(target), shingleSize, idCol, textCol)
       .unionByName(baseD)
     verifyJaccardOnBase(cands, verifyBase, threshold)
   }

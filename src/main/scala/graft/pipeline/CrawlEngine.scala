@@ -259,14 +259,21 @@ final class CrawlEngine(
                                caches: scala.collection.mutable.ArrayBuffer[Dataset[_]])
   : (DataFrame, DataFrame) = {
     val (m, mBloomOpt) = maybeSemiBloom(maybe0, urlCol, expectedRows, caches)
-    mBloomOpt match {
-      case Some(mBloom) =>
-        (m, seenDf.select($"href".as(urlCol)).join(broadcast(mBloom))
-          .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
-          .select(col(urlCol)))
-      case None => (m, seenDf.select($"href".as(urlCol)))
-    }
+    (m, bloomShrunk(seenDf.select($"href".as(urlCol)), mBloomOpt, urlCol))
   }
+
+  /** Pre-shrink a seen-side scan by the broadcast maybe-bloom (no-op
+    * without one). ONE implementation for the single-join and chain paths —
+    * the probe expression must not drift between them.
+    */
+  private def bloomShrunk(seenSide: DataFrame, mBloomOpt: Option[DataFrame],
+                          urlCol: String): DataFrame =
+    mBloomOpt match {
+      case Some(mb) => seenSide.join(broadcast(mb))
+        .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
+        .select(col(urlCol))
+      case None => seenSide
+    }
 
   /** The semi-filter's gating/sizing half, shared with the bucketed chain:
     * persist the maybe side and aggregate a one-row bloom over its
@@ -311,13 +318,7 @@ final class CrawlEngine(
       seenT.bucketSpec.exists(_._2 == "href")) {
       val (maybe, mBloomOpt) = maybeSemiBloom(maybe0, urlCol, expectedRows, caches)
       chunks.foldLeft(maybe) { (acc, ch) =>
-        val sel = ch.select($"href".as(urlCol))
-        val filtered = mBloomOpt match {
-          case Some(mb) => sel.join(broadcast(mb))
-            .filter(expr(s"bloom_might_contain(mbits, `$urlCol`)"))
-            .select(col(urlCol))
-          case None => sel
-        }
+        val filtered = bloomShrunk(ch.select($"href".as(urlCol)), mBloomOpt, urlCol)
         acc.join(filtered, Seq(urlCol), "left_anti")
       }
     } else {

@@ -240,8 +240,25 @@ final class SnapshotTable(val root: Path, val name: String) {
     * call so the file listing is never stale across commits/rollbacks that
     * reuse a dir name.
     */
+  // Bounded LRU, not a bare map: a long crawl's compaction cadence mints a
+  // NEW key per (dir, listing) on every fold/vacuum, and an unbounded cache
+  // retains every stale analyzed DataFrame (file index included) plus its
+  // orphaned graft_b_* catalog registration for the life of a driver that
+  // is designed to run 10^10-row crawls. 64 entries cover any live chain
+  // (the compaction cadences cap chains at ~24 dirs); eviction DROPs the
+  // catalog table — safe for still-live DataFrames, which hold their
+  // resolved relation and never re-consult the catalog.
   private val bucketedScanCache =
-    scala.collection.mutable.HashMap.empty[String, DataFrame]
+    new java.util.LinkedHashMap[String, (String, SparkSession, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, SparkSession, DataFrame)]): Boolean =
+        if (size > 64) {
+          val (ident, sess, _) = e.getValue
+          try { if (!sess.sparkContext.isStopped) sess.sql(s"DROP TABLE IF EXISTS `$ident`") }
+          catch { case _: Exception => () }
+          true
+        } else false
+    }
 
   private def bucketedScan(spark: SparkSession, dir: Path, n: Int, bc: String): DataFrame = {
     // committed dirs are immutable, so a registration is reusable for the
@@ -249,11 +266,15 @@ final class SnapshotTable(val root: Path, val name: String) {
     // rollback-then-recommit that reuses the dir NAME with different files
     // re-registers (DROP first) instead of serving a stale catalog listing.
     // Without the cache every generation pays footer-read + DDL per dir per
-    // read site.
+    // read site. The session lives in the VALUE and is compared by eq —
+    // identityHashCode alone can be reused by the GC for a new session,
+    // which must not be served a dead session's DataFrame.
     val listing = listParquet(dir).map(_.getFileName.toString).mkString(",")
     val key = s"${System.identityHashCode(spark)}#$dir#$n#$bc#${listing.hashCode}"
     bucketedScanCache.synchronized {
-      bucketedScanCache.getOrElseUpdate(key, {
+      val hit = bucketedScanCache.get(key)
+      if (hit != null && (hit._2 eq spark)) hit._3
+      else {
         val ident = s"graft_b_${name}_${dir.getFileName}_" +
           java.lang.Integer.toHexString(dir.toString.hashCode)
         val schemaDdl = spark.read.parquet(dir.toString).schema.toDDL
@@ -266,8 +287,10 @@ final class SnapshotTable(val root: Path, val name: String) {
         // exchange-free join shape needs only the bucketing.
         spark.sql(s"CREATE TABLE `$ident` ($schemaDdl) USING parquet " +
           s"CLUSTERED BY (`$bc`) INTO $n BUCKETS LOCATION '$dir'")
-        spark.table(ident)
-      })
+        val df = spark.table(ident)
+        bucketedScanCache.put(key, (ident, spark, df))
+        df
+      }
     }
   }
 

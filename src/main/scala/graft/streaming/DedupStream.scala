@@ -60,9 +60,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ∪ those stars and the rewritten rows append stamped with the batch
   * generation — LATEST-WINS, read back through [[latestRedirects]]
   * (merge-on-read, the same pattern as a position-delete lakehouse table).
-  * Per-batch cost is O(new pairs + affected-cluster members), never
-  * O(corpus) and never O(all clusters). Clusters only grow (pairs are only
-  * added), so rows are only ever superseded, never deleted. The drained
+  * Per-batch SHUFFLE cost is O(new pairs + affected-cluster members) —
+  * the latest-wins windows run only over affected docs' rows
+  * ([[updatedRedirects]]) — never O(corpus) and never O(all clusters);
+  * the redirects table is scanned per batch, but narrow-columnar and
+  * semi-join-pruned, and the doc_id-bucketed commits are folded by the
+  * same in-run size-tiered compaction as the band index, so neither the
+  * chain length nor the history a scan pays grows unboundedly. Clusters
+  * only grow (pairs are only added), so rows are only ever superseded,
+  * never deleted. The drained
   * view equals the batch [[TextDedup.resolveClusters]] over the whole
   * corpus — survivor choice is an argmax over full final membership with a
   * deterministic tiebreak, so arrival order cannot leak in (DedupStreamSpec
@@ -141,9 +147,13 @@ object DedupStream {
     */
   def compactRedirects(spark: SparkSession, table: SnapshotTable): Unit =
     table.currentSnapshot.foreach { cur =>
-      table.replace(
-        latestRedirects(spark, table).withColumn("gen", lit(cur.generation)),
-        generation = cur.generation)
+      val view = latestRedirects(spark, table).withColumn("gen", lit(cur.generation))
+      // preserve the doc_id bucketing so the in-run tiered fold and the
+      // affected-docs reads keep working after a major pass
+      table.bucketSpec match {
+        case Some((n, bc)) => table.replaceBucketed(view, cur.generation, n, bc)
+        case None => table.replace(view, cur.generation)
+      }
       ()
     }
 
@@ -193,10 +203,15 @@ object DedupStream {
       val pairs = timed("pairs")(if (needRedirects) raw.localCheckpoint(true) else raw)
       if (needPairs) timed("pairsAppend")(pairsTable.append(pairs, generation = gen))
       if (needRedirects && !timed("pairsEmpty?")(pairs.isEmpty)) redirectsTable.foreach { rt =>
-        timed("redirects")(rt.append(
+        // bucketed by doc_id, NOT a plain append: compactTiered only folds
+        // uniformly bucketed chains, so plain redirect commits would grow
+        // one dir per pairful batch FOREVER (the in-run fold below would
+        // silently no-op) and the affected-docs semi-joins could never
+        // read storage-aligned
+        timed("redirects")(rt.appendBucketed(
           updatedRedirects(spark, rt, corpus.unionByName(delta), pairs, quality)
             .withColumn("gen", lit(gen)),
-          generation = gen))
+          generation = gen, buckets = indexBuckets, bucketCol = "doc_id"))
       }
     }
     if (!indexTable.currentSnapshot.exists(_.generation >= gen))
@@ -220,16 +235,45 @@ object DedupStream {
     * encoding of the old components — and [[TextDedup.memberRedirects]]
     * re-resolves stars ∪ new pairs with fresh quality reads for members
     * only. `docs` must carry every pair endpoint's text (corpus ∪ delta).
+    *
+    * The latest-wins resolution here is AFFECTED-DOCS-ONLY: a full
+    * [[latestRedirects]] would window-shuffle every redirect row ever
+    * written on every pairful batch — O(cumulative membership + history),
+    * exactly the growth the per-batch bound forbids. Instead the table is
+    * scanned with narrow semi-joins (endpoint docs; then docs with ANY
+    * generation's row pointing at an affected root — a superset of the
+    * current members, safe because their latest rows are re-derived and
+    * re-filtered) and the row_number window runs only over those docs'
+    * rows. Scans stay O(table) but columnar and pushdown-friendly; every
+    * shuffle is affected-sized.
     */
   private def updatedRedirects(spark: SparkSession, rt: SnapshotTable, docs: DataFrame,
                                pairs: DataFrame, quality: Column => Column): DataFrame = {
-    val old = latestRedirects(spark, rt)
+    import org.apache.spark.sql.expressions.Window
+    val hist = rt.read(spark).map(_.select(col("doc_id"), col("survivor_id"), col("gen")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long, Int)].toDF("doc_id", "survivor_id", "gen")
+      }
+    def latestOf(rows: DataFrame): DataFrame =
+      rows.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("gen").desc)))
+        .filter(col("rn") === 1).select(col("doc_id"), col("survivor_id"))
     val endpoints = pairs.select(col("a").as("doc_id"))
       .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    // current roots of the endpoints: window over the ENDPOINT docs' rows only
+    val endpointLatest = latestOf(hist.join(endpoints, Seq("doc_id"), "left_semi"))
     val roots = endpoints
-      .join(old.select(col("doc_id"), col("survivor_id")), Seq("doc_id"), "left")
+      .join(endpointLatest, Seq("doc_id"), "left")
       .select(coalesce(col("survivor_id"), col("doc_id")).as("survivor_id")).distinct()
-    val stars = old.join(roots, Seq("survivor_id"), "left_semi")
+    // candidate members: any doc with ANY row naming an affected root
+    // (superset of the current members — a doc whose LATEST survivor is in
+    // `roots` names it in that latest row, so nothing is missed; stale
+    // matches are dropped by the re-filter below)
+    val candDocs = hist.join(roots, Seq("survivor_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val stars = latestOf(hist.join(candDocs, Seq("doc_id"), "left_semi"))
+      .join(roots, Seq("survivor_id"), "left_semi")
       .filter(col("doc_id") =!= col("survivor_id"))
       .select(col("doc_id").as("a"), col("survivor_id").as("b"))
     TextDedup.memberRedirects(docs, pairs.unionByName(stars), quality)

@@ -194,4 +194,33 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(cluster.size == 4 && cluster.map(_._2).size == 1,
       s"post-compact merge must rewrite the folded cluster: $cluster")
   }
+
+  test("in-run tiered fold bounds the redirects chain (bucketed commits make compactTiered real)") {
+    // every batch below produces pairs, so a plain-append redirects table
+    // would grow one commit dir per batch forever and compactTiered would
+    // no-op (it folds only uniformly BUCKETED chains) — this pins that the
+    // doc_id-bucketed commits actually let the in-run cadence fire
+    val store = SnapshotStore(Files.createTempDirectory("graft-dstream-fold").toString)
+    val corpusT = store.table("corpus")
+    val pairsT = store.table("near_dup_pairs")
+    val indexT = store.table("band_index")
+    val redirT = store.table("redirects")
+    (0 until 6).foreach { i =>
+      val b = Seq((i.toLong, doc(50 + i)), (1000L + i, doc(50 + i) + " zzz"))
+        .toDF("doc_id", "text")
+      DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b, batchId = i.toLong,
+        threshold = 0.8, autoCompactDirs = 2, redirectsTable = Some(redirT))
+    }
+    assert(redirT.bucketSpec.exists(_._2 == "doc_id"),
+      "redirect commits must be doc_id-bucketed or the fold can never fire")
+    assert(redirT.commitDirCount <= 2,
+      s"6 pairful batches at autoCompactDirs=2 left ${redirT.commitDirCount} dirs — the in-run fold is not firing")
+    assert(indexT.commitDirCount <= 2, "the band-index chain is folded by the same cadence")
+    // the fold moved dir boundaries only: the latest-wins view is intact
+    val view = DedupStream.latestRedirects(spark, redirT)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = (0 until 6).flatMap(i =>
+      Seq((i.toLong, i.toLong, true), (1000L + i, i.toLong, false))).toSet
+    assert(view == want, s"view after folds: $view")
+  }
 }
