@@ -435,8 +435,11 @@ object TextDedup {
                              maxBucket: Int = 1000, logDrops: Boolean = true,
                              pruneMaxKeys: Int = 1 << 15,
                              inListCap: Int = defaultInListCap): DataFrame =
+    // keys above inListCap are useless to the DataFrame form (only the
+    // table form file-skips with them) — cap the collection so the driver
+    // never pays two jobs to gather tens of thousands of keys it discards
     indexedCore(corpus, delta, threshold, idCol, textCol, shingleSize, numHashes,
-      bands, maxBucket, logDrops, pruneMaxKeys,
+      bands, maxBucket, logDrops, math.min(pruneMaxKeys, inListCap),
       keys => inFiltered(bandIndex, keys, inListCap))
 
   /** [[minhashNearDupsIndexed]] reading the index straight from its
@@ -472,7 +475,9 @@ object TextDedup {
           val occupied = scala.collection.mutable.HashMap.empty[Int, Set[Int]]
           def keep(n: Int, b: Int): Boolean = occupied.getOrElseUpdate(n,
             ks.iterator.map(graft.snapshot.SnapshotStore.bucketIdOfLong(_, n)).toSet)(b)
-          indexTable.readBucketSkipped(spark, keep)
+          // "bkey" names the column our keys hash — dirs bucketed on any
+          // other column are read in full rather than mispruned
+          indexTable.readBucketSkipped(spark, "bkey", keep)
             .map(df => inFiltered(df, Some(ks), inListCap))
             .getOrElse(emptyIndex(spark))
         case None => fullIndex

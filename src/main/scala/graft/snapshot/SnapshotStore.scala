@@ -318,23 +318,28 @@ final class SnapshotTable(val root: Path, val name: String) {
     * O(occupied/total) of the table with ZERO plan-side cost (no thousand-
     * literal `IN` for Catalyst to fold or parquet to stat-check; contrast
     * the [[readCommitChunks]] + `isInCollection` route, whose planning cost
-    * grows with the key-list size). Files in dirs without a bucket spec are
-    * always kept (correct, just unpruned). None when the table is empty or
-    * every file was skipped (the caller supplies the empty-case plan).
+    * grows with the key-list size). `bucketCol` names the column the
+    * caller's keys hash: dirs bucketed on ANY OTHER column are always kept
+    * in full — pruning them by ids routed under a different column's hash
+    * would silently drop matching rows — as are dirs with no spec at all
+    * (correct, just unpruned). None when the table is empty or every file
+    * was skipped (the caller supplies the empty-case plan).
     *
     * The scan does NOT report bucket partitioning (it is a plain
     * `spark.read.parquet` over the kept paths) — use [[readCommitChunks]]
     * when a downstream join needs the exchange-free bucketed shape.
     */
-  def readBucketSkipped(spark: SparkSession, keep: (Int, Int) => Boolean): Option[DataFrame] =
+  def readBucketSkipped(spark: SparkSession, bucketCol: String,
+                        keep: (Int, Int) => Boolean): Option[DataFrame] =
     currentSnapshot.filter(_.files.nonEmpty).flatMap { cur =>
       val reg = cur.dirBuckets.getOrElse(Map.empty)
       val kept = cur.files.filter { f =>
         val p = Paths.get(f.path)
         reg.get(p.getParent.getFileName.toString) match {
           case Some(spec) =>
-            val n = spec.split(":", 2)(0).toInt
-            fileBucketId(p.getFileName.toString).forall(keep(n, _))
+            val Array(n, bc) = spec.split(":", 2)
+            bc != bucketCol ||
+              fileBucketId(p.getFileName.toString).forall(keep(n.toInt, _))
           case None => true
         }
       }

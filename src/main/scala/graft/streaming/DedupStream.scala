@@ -81,6 +81,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object DedupStream {
 
+  /** The stream's banding parameters, defined ONCE for both sides of the
+    * index: candidate generation (the probe's banding) and `bandIndexOf`
+    * (the persisted rows) MUST band identically or cross-batch pairs
+    * silently vanish — signatures computed under different parameters never
+    * match. Keeping each side on its own defaults would let a tuning change
+    * to one silently diverge the other.
+    */
+  private val ShingleSize = 3
+  private val NumHashes = 32
+  private val Bands = 16
+  private val MaxBucket = 1000
+
   /** Start the dedup stream over a documents directory. AvailableNow by
     * default (drain-what-exists, then stop); pass a processing-time trigger
     * for a live tail. `corpusTable` accumulates every streamed doc;
@@ -144,16 +156,20 @@ object DedupStream {
     * appends are unaffected; surviving rows are re-stamped with it (they
     * are the latest by construction — order among equals is irrelevant
     * because each doc now has exactly one row).
+    *
+    * Also the SELF-HEALING pass for a table whose dirs carry MIXED bucket
+    * specs (a restart with a different `indexBuckets`, or history from
+    * before redirects were bucketed): mixed specs make `bucketSpec` None,
+    * which silently disables the in-run tiered fold — so the None arm
+    * REBUCKETS the whole view at `buckets` instead of cementing the plain
+    * layout with a plain replace.
     */
-  def compactRedirects(spark: SparkSession, table: SnapshotTable): Unit =
+  def compactRedirects(spark: SparkSession, table: SnapshotTable,
+                       buckets: Int = 32): Unit =
     table.currentSnapshot.foreach { cur =>
       val view = latestRedirects(spark, table).withColumn("gen", lit(cur.generation))
-      // preserve the doc_id bucketing so the in-run tiered fold and the
-      // affected-docs reads keep working after a major pass
-      table.bucketSpec match {
-        case Some((n, bc)) => table.replaceBucketed(view, cur.generation, n, bc)
-        case None => table.replace(view, cur.generation)
-      }
+      val (n, bc) = table.bucketSpec.getOrElse((buckets, "doc_id"))
+      table.replaceBucketed(view, cur.generation, n, bc)
       ()
     }
 
@@ -196,7 +212,8 @@ object DedupStream {
       // buckets, not the index size, with zero plan-side literal cost.
       val raw = timed("candGen")(TextDedup
         .minhashNearDupsIndexed(corpus, indexTable, delta, threshold,
-          "doc_id", "text", 3, 32, 16, 1000, false, 1 << 15, 1024)
+          "doc_id", "text", ShingleSize, NumHashes, Bands, MaxBucket,
+          false, 1 << 15, 1024)
         .select(col("a"), col("b")))
       // redirect maintenance consumes the pair set twice (endpoints, edges)
       // on top of the append — materialize once; pairs are tiny (dup rate)
@@ -215,8 +232,9 @@ object DedupStream {
       }
     }
     if (!indexTable.currentSnapshot.exists(_.generation >= gen))
-      timed("indexAppend")(indexTable.appendBucketed(TextDedup.bandIndexOf(delta), generation = gen,
-        buckets = indexBuckets, bucketCol = "bkey"))
+      timed("indexAppend")(indexTable.appendBucketed(
+        TextDedup.bandIndexOf(delta, ShingleSize, NumHashes, Bands),
+        generation = gen, buckets = indexBuckets, bucketCol = "bkey"))
     if (!corpusTable.currentSnapshot.exists(_.generation >= gen))
       timed("corpusAppend")(corpusTable.append(delta, generation = gen))
     if (autoCompactDirs > 0) {

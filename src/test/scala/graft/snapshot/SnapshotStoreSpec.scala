@@ -139,7 +139,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     t.appendBucketed(rows(2), 2, buckets = 8, bucketCol = "h")
     val all = t.read(spark).get.select($"h", $"id").as[(Long, Long)].collect()
     val keep = Set(0, 3, 7)
-    val got = t.readBucketSkipped(spark, (n, b) => { assert(n == 8); keep(b) }).get
+    val got = t.readBucketSkipped(spark, "h", (n, b) => { assert(n == 8); keep(b) }).get
     // exact row set: every row whose key routes to a kept bucket, no others
     val want = all.filter { case (h, _) => keep(SnapshotStore.bucketIdOfLong(h, 8)) }.toSet
     assert(got.select($"h", $"id").as[(Long, Long)].collect().toSet == want)
@@ -147,14 +147,19 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // and the skip is FILE-level: only kept buckets' files are even listed
     assert(got.inputFiles.length == 2 * keep.size,
       s"expected ${2 * keep.size} files, scanned ${got.inputFiles.length}")
+    // a dir bucketed on a DIFFERENT column than the probe's keys is read in
+    // full — pruning it by ids routed under another column's hash would
+    // silently drop matching rows
+    val mismatch = t.readBucketSkipped(spark, "id", (_, _) => false).get
+    assert(mismatch.select($"h", $"id").as[(Long, Long)].collect().toSet == all.toSet)
     // a plain (non-bucketed) dir is never skipped
     t.append(Seq((42L, 42L)).toDF("h", "id"), 3)
-    val withPlain = t.readBucketSkipped(spark, (_, _) => false).get
+    val withPlain = t.readBucketSkipped(spark, "h", (_, _) => false).get
     assert(withPlain.as[(Long, Long)].collect().toSet == Set((42L, 42L)))
     // every file skipped and no plain dir -> None
     val t2 = freshTable("bskip2")
     t2.appendBucketed(rows(1), 1, buckets = 8, bucketCol = "h")
-    assert(t2.readBucketSkipped(spark, (_, _) => false).isEmpty)
+    assert(t2.readBucketSkipped(spark, "h", (_, _) => false).isEmpty)
   }
 
   test("mixed bucketed/plain dirs: no table-level spec, chunked read falls back per dir") {

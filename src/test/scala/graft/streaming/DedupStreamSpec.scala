@@ -222,5 +222,16 @@ class DedupStreamSpec extends AnyFunSuite {
     val want = (0 until 6).flatMap(i =>
       Seq((i.toLong, i.toLong, true), (1000L + i, i.toLong, false))).toSet
     assert(view == want, s"view after folds: $view")
+    // self-heal: a mixed-spec chain (e.g. a plain legacy dir) disables the
+    // in-run fold (bucketSpec None); the major pass must REBUCKET, not
+    // cement the plain layout
+    redirT.append(Seq((9999L, 9999L, true, 99)).toDF("doc_id", "survivor_id", "kept", "gen"),
+      generation = 99)
+    assert(redirT.bucketSpec.isEmpty, "fixture must actually be mixed")
+    DedupStream.compactRedirects(spark, redirT)
+    assert(redirT.bucketSpec.exists(_._2 == "doc_id"),
+      "major compact must restore a uniform doc_id bucketing")
+    assert(DedupStream.latestRedirects(spark, redirT)
+      .as[(Long, Long, Boolean)].collect().toSet == want + ((9999L, 9999L, true)))
   }
 }
