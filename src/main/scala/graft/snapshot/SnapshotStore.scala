@@ -414,6 +414,21 @@ final class SnapshotTable(val root: Path, val name: String) {
       }
     }
 
+  /** MAJOR rebucketing pass: rewrite the whole table as ONE dir bucketed
+    * (`buckets`, `bucketCol`) — the self-heal for a chain whose dirs carry
+    * MIXED or stale specs (a restart with a different bucket count, or
+    * plain commits from before a table was bucketed), states in which
+    * [[bucketSpec]] is None/stale and every spec-dependent path — the
+    * tiered fold, storage-aligned chain joins, file skips — silently
+    * degrades. Rows and generation are preserved; only the layout moves.
+    * No-op on an empty table.
+    */
+  def rebucket(spark: SparkSession, buckets: Int, bucketCol: String): Option[SnapshotMeta] =
+    currentSnapshot.filter(_.files.nonEmpty).map { cur =>
+      replaceBucketed(spark.read.parquet(cur.files.map(_.path): _*),
+        cur.generation, buckets, bucketCol, cur.counters)
+    }
+
   /** Size-tiered MINOR compaction for a bucketed table (the LSM merge shape):
     * when the commit-dir chain exceeds `targetDirs`, fold the SMALLEST
     * (by manifest row count) `nDirs - targetDirs + 1` dirs into one new

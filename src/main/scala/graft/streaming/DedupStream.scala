@@ -110,7 +110,17 @@ object DedupStream {
              indexBuckets: Int = 32,
              autoCompactDirs: Int = 16,
              redirectsTable: Option[SnapshotTable] = None,
-             quality: Column => Column = TextAnalysis.qualityScore): StreamingQuery =
+             quality: Column => Column = TextAnalysis.qualityScore): StreamingQuery = {
+    // self-heal ONCE at stream start: a restart against tables written
+    // with a different bucket count (or pre-bucketing history) would
+    // otherwise create mixed-spec chains, silently disabling the tiered
+    // fold and the file skip for the stream's whole lifetime
+    def heal(t: SnapshotTable, bc: String): Unit =
+      if (t.currentSnapshot.exists(_.files.nonEmpty) &&
+        !t.bucketSpec.contains((indexBuckets, bc)))
+        t.rebucket(spark, indexBuckets, bc): Unit
+    heal(indexTable, "bkey")
+    redirectsTable.foreach(heal(_, "doc_id"))
     spark.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .writeStream
@@ -124,6 +134,7 @@ object DedupStream {
           System.err.println(f"[stream-timing] batch=$batchId TOTAL        ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       }
       .start()
+  }
 
   /** The current (doc_id, survivor_id, kept) view of an append-only
     * redirects table: each batch appends the rewritten rows of its affected

@@ -172,6 +172,14 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(t.bucketSpec.isEmpty, "mixed dirs must not claim a uniform bucket spec")
     val chunks = t.readCommitChunks(spark).get
     assert(chunks.size == 2 && chunks.map(_.count()).sum == 20)
+    // rebucket: the mixed chain heals to ONE uniformly bucketed dir; rows,
+    // generation and counters preserved
+    val before = t.read(spark).get.as[(Long, Long)].collect().toSet
+    val gen = t.currentSnapshot.get.generation
+    val m = t.rebucket(spark, 4, "h").get
+    assert(t.bucketSpec.contains((4, "h")) && m.generation == gen)
+    assert(t.readCommitChunks(spark).get.size == 1)
+    assert(t.read(spark).get.as[(Long, Long)].collect().toSet == before)
   }
 
   test("tiered compact folds ONLY the smallest dirs; rows, bucketing, chunk union preserved") {

@@ -234,4 +234,43 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(DedupStream.latestRedirects(spark, redirT)
       .as[(Long, Long, Boolean)].collect().toSet == want + ((9999L, 9999L, true)))
   }
+
+  test("restart with a different bucket count self-heals: tables rebucket at stream start, drain unchanged") {
+    // run 1 drains two files at indexBuckets=8; run 2 resumes the SAME
+    // checkpoint over a third file at the default 32. Without the heal the
+    // second run's appends create mixed-spec chains: bucketSpec None, the
+    // in-run fold dead for the stream's lifetime, the file skip unpruned.
+    val store = SnapshotStore(Files.createTempDirectory("graft-dstream-heal").toString)
+    val corpusT = store.table("corpus")
+    val pairsT = store.table("near_dup_pairs")
+    val indexT = store.table("band_index")
+    val redirT = store.table("redirects")
+    val ckpt = Files.createTempDirectory("graft-dstream-heal-ckpt").toString
+    val src = Files.createTempDirectory("graft-dstream-heal-src")
+    val f0 = (100 until 110).map(i => (i.toLong, doc(i)))
+    val f1 = Seq((1100L, doc(100) + " zzz"))
+    val f2 = Seq((2100L, doc(100) + " yyy"), (1105L, doc(105) + " zzz"))
+    writeFile(src, "0.parquet", f0)
+    writeFile(src, "1.parquet", f1)
+    DedupStream.ingest(spark, src.toString, corpusT, pairsT, indexT, ckpt,
+      threshold = 0.8, indexBuckets = 8, redirectsTable = Some(redirT))
+      .awaitTermination(120000)
+    assert(indexT.bucketSpec.contains((8, "bkey")))
+    writeFile(src, "2.parquet", f2)
+    DedupStream.ingest(spark, src.toString, corpusT, pairsT, indexT, ckpt,
+      threshold = 0.8, redirectsTable = Some(redirT)) // default 32
+      .awaitTermination(120000)
+    assert(indexT.bucketSpec.contains((32, "bkey")),
+      "index must be uniformly rebucketed at the new count, not mixed")
+    assert(redirT.bucketSpec.exists(_._2 == "doc_id"),
+      "redirects must stay uniformly bucketed after the heal")
+    val all = (f0 ++ f1 ++ f2).toDF("doc_id", "text")
+    assert(pairSet(pairsT.read(spark).get) ==
+      pairSet(TextDedup.minhashNearDups(all, 0.8)),
+      "the drain across the restart must still equal the batch pair set")
+    val view = DedupStream.latestRedirects(spark, redirT)
+      .select($"doc_id", $"survivor_id").as[(Long, Long)].collect().toSet
+    assert(view.filter(v => Set(100L, 1100L, 2100L)(v._1)).map(_._2).size == 1,
+      "the cross-restart cluster must resolve to one survivor")
+  }
 }
