@@ -508,6 +508,60 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- streaming hot-host top-k (driver-gated) ----------------
+    // the events table replayed as a THREE-FILE FetchEvent stream (event_id
+    // mod 3 spreads every host's events across all three files, so the
+    // cumulative flatMapGroupsWithState count must survive micro-batch
+    // boundaries to rank correctly); the drained top-k must equal the batch
+    // GROUP BY count — the same per-host statistic the crawl engine's
+    // hot-host tier routing reads from host_state
+    "q_stream_hosts" -> ((s, dir) => {
+      import java.nio.file.{Files, attribute}
+      val events = t(s, dir, "events")
+        .select(
+          concat(lit("https://host-"), col("user_id"), lit("/e"), col("event_id")).as("url"),
+          concat(lit("host-"), col("user_id")).as("host"),
+          lit(0).as("salt"),
+          unix_millis(col("ts").cast("timestamp")).as("scheduled_ms"), // ts is NTZ; session tz is UTC
+          lit(100L).as("min_delay_ms"),
+          lit(0).as("round"),
+          lit(0).as("phase"),
+          col("event_id"))
+      val src = Files.createTempDirectory("graft-qshosts-src")
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory("graft-qshosts-part")
+        events.filter(pmod(col("event_id"), lit(3)) === i).drop("event_id")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val ls = Files.list(tmp)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        } finally ls.close()
+        val f = src.resolve(f"$i%02d.parquet")
+        Files.move(part.get, f)
+        Files.setLastModifiedTime(f, attribute.FileTime.fromMillis(1000000L * (i + 1))): Unit
+      }
+      // 8 state stores (same sizing rationale as q_stream_ingest): the
+      // fixture's micro-batches are small, so per-batch state-store
+      // delta/snapshot IO dominates at the session's full shuffle width
+      val session = s.newSession()
+      s.conf.getAll.foreach { case (k, v) =>
+        try session.conf.set(k, v) catch { case _: Exception => () }
+      }
+      session.conf.set("spark.sql.shuffle.partitions", "8")
+      import session.implicits._
+      val schema = org.apache.spark.sql.Encoders.product[graft.model.FetchEvent].schema
+      val stream = session.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src.toString).as[graft.model.FetchEvent]
+      val qname = s"q_stream_hosts_${System.nanoTime()}"
+      val q = graft.streaming.FetchStream.runningHostCounts(stream)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      graft.streaming.FetchStream.hotHostTopK(session.table(qname), 25)
+    }),
+
     "q_lang_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
@@ -926,6 +980,15 @@ object SparkEntry {
     // exact-Jaccard pair set over the streamed union (same aug fixture as
     // the cluster family)
     "q_stream_dedup" -> jaccardPairsSql(clusterAugSql, 0.8),
+
+    // streaming hot-host top-k: the cumulative stateful count drained from
+    // the 3-file event stream must equal the batch per-host GROUP BY
+    "q_stream_hosts" ->
+      """SELECT 'host-' || CAST(user_id AS VARCHAR) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_scheduled
+        |FROM events GROUP BY user_id
+        |ORDER BY n_scheduled DESC, host
+        |LIMIT 25""".stripMargin,
 
     "q_token_topk" ->
       """SELECT token, count(*) AS n FROM (

@@ -440,7 +440,7 @@ object TextDedup {
     // never pays two jobs to gather tens of thousands of keys it discards
     indexedCore(corpus, delta, threshold, idCol, textCol, shingleSize, numHashes,
       bands, maxBucket, logDrops, math.min(pruneMaxKeys, inListCap),
-      keys => inFiltered(bandIndex, keys, inListCap))
+      keys => inFiltered(bandIndex, keys, inListCap))._1
 
   /** [[minhashNearDupsIndexed]] reading the index straight from its
     * SNAPSHOT TABLE, which unlocks the pruning that matters at scale:
@@ -463,7 +463,29 @@ object TextDedup {
                              idCol: String, textCol: String,
                              shingleSize: Int, numHashes: Int, bands: Int,
                              maxBucket: Int, logDrops: Boolean,
-                             pruneMaxKeys: Int, inListCap: Int): DataFrame = {
+                             pruneMaxKeys: Int, inListCap: Int): DataFrame =
+    minhashNearDupsIndexedWithBandRows(corpus, indexTable, delta, threshold,
+      idCol, textCol, shingleSize, numHashes, bands, maxBucket, logDrops,
+      pruneMaxKeys, inListCap)._1
+
+  /** [[minhashNearDupsIndexed]] (table form) that ALSO returns the delta's
+    * own band-index rows `(id, band, bsig, bkey)` — equal to
+    * [[bandIndexOf]](delta) by construction (same projection, banding and
+    * bkey derivation) and already EAGERLY materialized for candidate
+    * generation. An ingest loop that must also append the delta to the
+    * persisted index (the [[graft.streaming.DedupStream]] shape) reuses
+    * these rows instead of re-running the shingle explode + minhash
+    * pipeline over the delta a second time per batch. MlSpec pins the
+    * row-set equality with `bandIndexOf`.
+    */
+  def minhashNearDupsIndexedWithBandRows(
+      corpus: DataFrame, indexTable: graft.snapshot.SnapshotTable,
+      delta: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = 1000, logDrops: Boolean = true,
+      pruneMaxKeys: Int = 1 << 15,
+      inListCap: Int = defaultInListCap): (DataFrame, DataFrame) = {
     val spark = delta.sparkSession
     import spark.implicits._
     def fullIndex: DataFrame = indexTable.readCommitChunks(spark)
@@ -506,13 +528,15 @@ object TextDedup {
 
   /** Shared body of the indexed forms: delta banding + key collection once,
     * index supplied by `indexFor` (given the collected keys when there are
-    * at most `pruneMaxKeys`, None otherwise).
+    * at most `pruneMaxKeys`, None otherwise). Returns (pairs, the delta's
+    * materialized band rows) — the second element is what
+    * [[minhashNearDupsIndexedWithBandRows]] hands to ingest loops.
     */
   private def indexedCore(corpus: DataFrame, delta: DataFrame, threshold: Double,
                           idCol: String, textCol: String, shingleSize: Int,
                           numHashes: Int, bands: Int, maxBucket: Int,
                           logDrops: Boolean, pruneMaxKeys: Int,
-                          indexFor: Option[Array[Long]] => DataFrame): DataFrame = {
+                          indexFor: Option[Array[Long]] => DataFrame): (DataFrame, DataFrame) = {
     val baseD = shingleDocBase(delta, shingleSize, idCol, textCol)
     // EAGER: deltaKeys, the bucket-count base and the pair expansion all
     // contain this plan as a subtree — materializing it first means the
@@ -530,8 +554,8 @@ object TextDedup {
     val bandedC = indexFor(keys).select($"id", $"band", $"bsig")
       .join(deltaKeys.select($"band", $"bsig"), Seq("band", "bsig"), "left_semi")
       .localCheckpoint(false)
-    incrementalTail(corpus, baseD, bandedD.drop("bkey"), bandedC, threshold, idCol,
-      textCol, shingleSize, maxBucket, logDrops, "minhash-indexed")
+    (incrementalTail(corpus, baseD, bandedD.drop("bkey"), bandedC, threshold, idCol,
+      textCol, shingleSize, maxBucket, logDrops, "minhash-indexed"), bandedD)
   }
 
   /** Shared tail of the two incremental generators: bucket-cap accounting

@@ -213,6 +213,11 @@ object DedupStream {
     val needPairs = !pairsTable.currentSnapshot.exists(_.generation >= gen)
     val needRedirects =
       redirectsTable.exists(t => !t.currentSnapshot.exists(_.generation >= gen))
+    // the candidate generator eagerly materializes the delta's band rows
+    // (identical to bandIndexOf(delta) by construction); when this batch
+    // also appends to the index, reuse them — one shingle+minhash pass over
+    // the delta per batch, not two
+    var deltaBandRows: Option[DataFrame] = None
     if (needPairs || needRedirects) {
       val corpus = corpusTable.read(spark)
         .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "text"))
@@ -221,11 +226,12 @@ object DedupStream {
       // The TABLE form prunes the index read by FILE (bucket ids in the
       // file names) — per-batch read cost tracks the delta's occupied
       // buckets, not the index size, with zero plan-side literal cost.
-      val raw = timed("candGen")(TextDedup
-        .minhashNearDupsIndexed(corpus, indexTable, delta, threshold,
+      val (rawPairs, bandRows) = timed("candGen")(TextDedup
+        .minhashNearDupsIndexedWithBandRows(corpus, indexTable, delta, threshold,
           "doc_id", "text", ShingleSize, NumHashes, Bands, MaxBucket,
-          false, 1 << 15, 1024)
-        .select(col("a"), col("b")))
+          false, 1 << 15, 1024))
+      deltaBandRows = Some(bandRows)
+      val raw = rawPairs.select(col("a"), col("b"))
       // redirect maintenance consumes the pair set twice (endpoints, edges)
       // on top of the append — materialize once; pairs are tiny (dup rate)
       val pairs = timed("pairs")(if (needRedirects) raw.localCheckpoint(true) else raw)
@@ -243,8 +249,12 @@ object DedupStream {
       }
     }
     if (!indexTable.currentSnapshot.exists(_.generation >= gen))
+      // reuse the candidate generator's materialized band rows; recompute
+      // only on the replay path where pairs+redirects already committed
+      // (bit-identical either way — the pipeline is deterministic)
       timed("indexAppend")(indexTable.appendBucketed(
-        TextDedup.bandIndexOf(delta, ShingleSize, NumHashes, Bands),
+        deltaBandRows.getOrElse(
+          TextDedup.bandIndexOf(delta, ShingleSize, NumHashes, Bands)),
         generation = gen, buckets = indexBuckets, bucketCol = "bkey"))
     if (!corpusTable.currentSnapshot.exists(_.generation >= gen))
       timed("corpusAppend")(corpusTable.append(delta, generation = gen))

@@ -201,6 +201,21 @@ class MlSpec extends AnyFunSuite {
       "doc_id", "text", 3, 32, 16, 1000, true, 1 << 15, 0)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(gotTblNoIn == want, "file-level bucket skip alone must not change the pair set")
+
+    // WithBandRows form: the second element must be EXACTLY bandIndexOf(delta)
+    // — DedupStream appends it to the persisted index in place of a second
+    // shingle+minhash pass, so any drift would silently lose cross-batch pairs
+    val (pairsWBR, bandRows) =
+      TextDedup.minhashNearDupsIndexedWithBandRows(corpus, idxT, delta, 0.8)
+    assert(pairsWBR.select($"a", $"b").as[(Long, Long)].collect().toSet == want)
+    val wantRows = TextDedup.bandIndexOf(delta)
+      .as[(Long, Int, Array[Long], Long)].collect()
+      .map { case (id, b, sig, k) => (id, b, sig.toSeq, k) }.toSet
+    val gotRows = bandRows
+      .as[(Long, Int, Array[Long], Long)].collect()
+      .map { case (id, b, sig, k) => (id, b, sig.toSeq, k) }.toSet
+    assert(gotRows == wantRows,
+      s"band rows != bandIndexOf(delta); extra=${(gotRows -- wantRows).take(3)} missing=${(wantRows -- gotRows).take(3)}")
   }
 
   test("simhash verified near-dups equal the exhaustive exact-jaccard pair set") {
