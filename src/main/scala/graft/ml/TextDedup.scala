@@ -893,9 +893,16 @@ object TextDedup {
   def memberRedirects(docs: DataFrame, pairs: DataFrame, quality: Column => Column,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cc = connectedComponents(pairs.select($"a", $"b"))
-    val members = cc.join(
-        docs.select(col(idCol).as("doc_id"), quality(col(textCol)).as("q")),
-        Seq("doc_id"))
+    // quality is EVALUATED above a member semi-join, not below the inner
+    // join: an inner join prunes the OUTPUT to members, but its streamed
+    // side still computes every projection for every probing row — a
+    // quality pass over the whole corpus per call. The semi-join filters
+    // first (8-byte hash probe), so the string-heavy quality expression
+    // runs on member rows only.
+    val memberQ = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(cc.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .select($"doc_id", quality(col(textCol)).as("q"))
+    val members = cc.join(memberQ, Seq("doc_id"))
       .select($"doc_id", $"keep_id".as("cluster"), $"q")
     // argmax(q) per cluster, min-id tiebreak: max of (q, -doc_id) structs
     val survivors = members
