@@ -196,6 +196,18 @@ object Bench {
     var resized = false
     var bestPair: (CrawlResult, CrawlResult) = null
     var bestPairEff = 0.0
+    var bestPlausible = false
+    // Plausibility ceiling for a pair efficiency. The pre-gate's OTHER
+    // blind spot (observed r5 rehearsal 10: pre-control 1.033, post 0.671,
+    // pair-eff 1.515): a window that degrades DURING the ~3 min lo leg
+    // inflates the lo wall and records an efficiency the machine cannot
+    // express — the engine-independent controls ceiling at ~0.90 on this
+    // host, and every calm-window engine pair since r3 sits in 0.80-0.89.
+    // Such a pair is a false PASS, the mirror image of the degraded-window
+    // false FAIL the pre-gate fixed. It stays in the attempts arrays for
+    // transparency but cannot become the headline or trigger early-stop
+    // unless no plausible pair completes within budget.
+    val effPlausibleMax = sys.env.getOrElse("BENCH_EFF_PLAUSIBLE_MAX", "1.0").toDouble
     var attempt = 0
     var skipped = 0
     var done = false
@@ -257,17 +269,27 @@ object Bench {
           val pCtl = memControlEff(lo, hi, passes = 30)
           postCtls += pCtl
           val pairEff = (h.urlsPerSec / l.urlsPerSec) / (hi.toDouble / lo)
-          if (bestPair == null || pairEff > bestPairEff) {
-            bestPair = (l, h); bestPairEff = pairEff
-          }
-          System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs pair-eff=$pairEff%.3f (mem-ctl $wCtl%.3f post $pCtl%.3f) best=$bestPairEff%.3f elapsed=${elapsedSec}%.0fs")
+          val plausible = pairEff <= effPlausibleMax
+          // selection order: any plausible pair beats any implausible one;
+          // among plausible pairs take the highest efficiency; among
+          // implausible ones (fallback only) take the LEAST inflated
+          val better =
+            if (bestPair == null) true
+            else if (plausible != bestPlausible) plausible
+            else if (plausible) pairEff > bestPairEff
+            else pairEff < bestPairEff
+          if (better) { bestPair = (l, h); bestPairEff = pairEff; bestPlausible = plausible }
+          System.err.println(f"[bench] attempt $attempt: lo=${l.wallSec}%.1fs hi=${h.wallSec}%.1fs pair-eff=$pairEff%.3f (mem-ctl $wCtl%.3f post $pCtl%.3f)" +
+            (if (!plausible) f" IMPLAUSIBLE(>${effPlausibleMax}%.2f: lo-leg weather)" else "") +
+            f" best=$bestPairEff%.3f elapsed=${elapsedSec}%.0fs")
           // stop early once the efficiency criterion is comfortably met — but
           // only after ≥2 attempts, so one lucky window can't decide alone —
           // or when another attempt would blow the round budget. The ≥3-
           // attempt threshold is the recorded criterion (BENCH_CRITERION_EFF),
-          // never a second hardcoded constant.
-          done = (attempt >= 2 && bestPairEff >= targetEff) ||
-            (attempt >= 3 && bestPairEff >= criterionEff) ||
+          // never a second hardcoded constant. Only a PLAUSIBLE best stops
+          // the loop — an inflated pair must not end the search it taints.
+          done = (attempt >= 2 && bestPlausible && bestPairEff >= targetEff) ||
+            (attempt >= 3 && bestPlausible && bestPairEff >= criterionEff) ||
             elapsedSec + pairCostSec > budgetSec
         }
       }
