@@ -88,10 +88,40 @@ object SparkEntry {
         ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
       } finally ls.close()
       Files.move(part.get, src.resolve(name)): Unit
+      deleteTempDir(tmp) // only _SUCCESS/.crc debris remains after the move
     }
     stage(10, 1000000L, " zzzplanted", "1-branch.parquet")
     stage(20, 2000000L, " zzzplanted2", "2-branch.parquet")
     src.toString
+  }
+
+  /** Fail-fast drain guard (ADVICE r5): `awaitTermination(timeout)` returns
+    * FALSE on timeout — ignoring it lets a hung AvailableNow drain fall
+    * through to rank a partially-filled sink, surfacing as a confusing
+    * oracle count mismatch instead of the real failure. Stops the query
+    * before throwing so the session isn't left with a zombie stream.
+    */
+  private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           name: String, timeoutMs: Long = 180000): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(s"$name stream drain timed out after ${timeoutMs} ms")
+    }
+
+  /** Recursive delete for the per-invocation staging dirs the stream
+    * queries create (ADVICE r5: leftover graft-qs* dirs leak /tmp across
+    * Verify/bench runs — this repo has already hit ENOSPC from uncleaned
+    * stores). Only dirs whose contents are FULLY CONSUMED by the drain
+    * (stream sources, empty staging parents) are deleted; snapshot stores
+    * backing the returned DataFrame must stay.
+    */
+  private def deleteTempDir(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val walk = java.nio.file.Files.walk(dir)
+      val entries = try walk.iterator.asScala.toList.reverse finally walk.close()
+      entries.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -218,9 +248,11 @@ object SparkEntry {
     }),
 
     // ---------------- SimHash near-dup, exact-verified ----------------
-    // 7-chunk banding is lossless for hamming <= 6 (pigeonhole); docs at
-    // Jaccard >= 0.9 sit within that radius, so the exact-verified output
-    // is hash-independent and oracle-checkable.
+    // hamming-radius banding (pigeonhole-lossless at the radius) UNIONED
+    // with minhash-LSH candidates over the same base (near-threshold pairs
+    // can exceed any fixed radius — r6 fix, measured hamming 9/9/12 at
+    // sf0.001); the exact Jaccard verify decides membership either way, so
+    // the output is hash-independent and oracle-checkable.
     "q_dedup_simhash" -> ((s, dir) => {
       TextDedup.simhashNearDups(plantedDocs(s, dir), 0.9)
         .select(col("a"), col("b"))
@@ -451,7 +483,8 @@ object SparkEntry {
       // holding this horizon's hash keys comfortably
       val q = graft.streaming.DocIngest.ingest(s, src.toString, table, ckpt,
         statePartitions = Some(8))
-      q.awaitTermination(180000)
+      awaitDrained(q, "q_stream_ingest")
+      deleteTempDir(src) // source fully consumed by the drain
       table.read(s).getOrElse(s.emptyDataFrame.select(lit("").as("text")).limit(0))
         .select(col("text")).orderBy(col("text"))
     }),
@@ -471,7 +504,8 @@ object SparkEntry {
       val ckpt = Files.createTempDirectory("graft-qsdedup-ckpt").toString
       val q = graft.streaming.DedupStream.ingest(s, src,
         store.table("corpus"), pairsT, store.table("band_index"), ckpt, threshold = 0.8)
-      q.awaitTermination(180000)
+      awaitDrained(q, "q_stream_dedup")
+      deleteTempDir(java.nio.file.Paths.get(src)) // source fully consumed
       pairsT.read(s)
         .getOrElse(s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0))
         .select(col("a"), col("b")).orderBy(col("a"), col("b"))
@@ -495,7 +529,8 @@ object SparkEntry {
         corpusT, store.table("near_dup_pairs"), store.table("band_index"), ckpt,
         threshold = 0.8, redirectsTable = Some(redirT),
         quality = TextAnalysis.qualityScore)
-      q.awaitTermination(180000)
+      awaitDrained(q, "q_stream_resolve")
+      deleteTempDir(java.nio.file.Paths.get(src)) // source fully consumed
       val red = graft.streaming.DedupStream.latestRedirects(s, redirT)
         .select(col("doc_id"), col("survivor_id"))
       corpusT.read(s)
@@ -540,6 +575,7 @@ object SparkEntry {
         val f = src.resolve(f"$i%02d.parquet")
         Files.move(part.get, f)
         Files.setLastModifiedTime(f, attribute.FileTime.fromMillis(1000000L * (i + 1))): Unit
+        deleteTempDir(tmp) // only _SUCCESS/.crc debris remains after the move
       }
       // 8 state stores (same sizing rationale as q_stream_ingest): the
       // fixture's micro-batches are small, so per-batch state-store
@@ -558,7 +594,10 @@ object SparkEntry {
         .toDF().writeStream.outputMode("append").format("memory")
         .queryName(qname)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
+      awaitDrained(q, "q_stream_hosts")
+      // the memory sink holds the drained rows; the staged source dir is
+      // fully consumed and deletable (ADVICE r5: these leaked per run)
+      deleteTempDir(src)
       graft.streaming.FetchStream.hotHostTopK(session.table(qname), 25)
     }),
 

@@ -18,10 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization/row-boxing boundary).
   *
   * `RollingFingerprintExpr` is the document fingerprint (whitespace-
-  * normalized Rabin-Karp polynomial over FNV offset basis — identical
-  * semantics to TextAnalysis.rollingFingerprint's UDF, shared static
-  * kernel). doGenCode emits a direct static call, the same pattern Spark's
-  * own hash expressions use.
+  * normalized Rabin-Karp polynomial over FNV offset basis; the former UDF
+  * form lives on only as the test-scope comparator graft.TestUdfs.
+  * rollingFingerprint, sharing this static kernel). doGenCode emits a
+  * direct static call, the same pattern Spark's own hash expressions use.
   */
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
 
@@ -371,6 +371,12 @@ object GraftFunctions {
   private def litInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
 
+  private def litLong(e: Expression): Long =
+    e.eval(null).asInstanceOf[Number].longValue()
+
+  private def litStr(e: Expression): String =
+    e.eval(null).asInstanceOf[UTF8String].toString
+
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction(
@@ -388,6 +394,24 @@ object GraftFunctions {
       "confirms_pdf", exprs => ConfirmsPdfExpr(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction(
       "link_score", exprs => LinkScoreExpr(exprs(0), exprs(1)), "built-in")
+    // vector/ANN kernels (graft.ml.Similarity / TextDedup.embeddingNearDups)
+    r.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDotExpr(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction(
+      "float_norm", exprs => FloatNormExpr(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "nearest_cell", exprs => NearestCellExpr(exprs(0), litStr(exprs(1))), "built-in")
+    r.createOrReplaceTempFunction(
+      "ranked_cells",
+      exprs => RankedCellsExpr(exprs(0), litStr(exprs(1)), litInt(exprs(2))), "built-in")
+    r.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      exprs => HyperplaneBucketExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2)), litLong(exprs(3))), "built-in")
+    r.createOrReplaceTempFunction(
+      "rh_bucket_long",
+      exprs => HyperplaneBucketLongExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2)), litLong(exprs(3))), "built-in")
     // URL-seen dedup tier (the analyzer wraps the AggregateFunction)
     r.createOrReplaceTempFunction(
       "bloom_agg", exprs => BloomBuildAgg(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")

@@ -1,6 +1,5 @@
 package graft.ml
 
-import graft.util.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,14 +17,14 @@ object Similarity {
 
   /** cosine(a, b) for two Array[Float] columns, accumulated in double in
     * index order (deterministic, matches a sequential oracle's arithmetic).
+    * Runs as the native `cosine_sim` expression (one codegen'd kernel call
+    * per pair — bit-identical to the former three-fold
+    * aggregate/zip_with Column form, whose per-pair higher-order trees were
+    * the scoring stage's dominant cost); callers must have run
+    * [[graft.functions.expressions.GraftFunctions.register]] (idempotent —
+    * every entry point in this object does).
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, t) => acc + t)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+  def cosineCol(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Exact top-k neighbors for each query vector (brute force). The query
     * side is broadcast (it must be small); ties break on neighbor id so the
@@ -33,6 +32,7 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -42,30 +42,13 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Random-hyperplane bucket signature (deterministic seeded planes). */
-  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 0xa117L): Column =
-    (0 until planes).map { p =>
-      val plane = array((0 until dim).map(i =>
-        lit(if (((Hashing.det(seed, p, i) >> 13) & 1L) == 1L) 1.0d else -1.0d)): _*)
-      val dot = aggregate(zip_with(vec, plane, (a, b) => a.cast("double") * b),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce((a, b) => a + b)
-
-  /** Squared L2 distance of an Array[Float] column to a literal centroid
-    * (codegen'd, no UDF).
+  /** Random-hyperplane bucket signature (deterministic seeded planes) — the
+    * native `hyperplane_bucket` expression (draw bit 13, double-width plane
+    * products; bit-identical to the former planes×dim literal-tree Column
+    * form). Callers must have registered the graft functions.
     */
-  private def distTo(vec: Column, centroid: Array[Float]): Column = {
-    val lits = array(centroid.toIndexedSeq.map(v => lit(v.toDouble)): _*)
-    aggregate(zip_with(vec, lits, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0d), (acc, x) => acc + x)
-  }
-
-  /** cells ranked by distance: array of struct(dist, cell) sorted asc. */
-  private def rankedCells(vec: Column, codebook: Array[Array[Float]]): Column =
-    array_sort(array(codebook.toIndexedSeq.zipWithIndex.map { case (cen, i) =>
-      struct(distTo(vec, cen).as("dist"), lit(i).as("cell"))
-    }: _*))
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 0xa117L): Column =
+    call_function("hyperplane_bucket", vec, lit(dim), lit(planes), lit(seed))
 
   /** Deterministic seed centroids: the nlist corpus vectors with smallest
     * hash(id) — a seeded sample, stable under partitioning.
@@ -280,11 +263,19 @@ object Similarity {
     // number that silently decouples from the nlist default
     val effProbe = if (probeAll) nlist else nprobe
 
+    // cell assignment and probe ranking run as the native nearest_cell /
+    // ranked_cells expressions: the codebook rides as ONE Base64 literal
+    // leaf instead of nlist×dim lit() nodes per use site (the former
+    // ~10⁴-node rankedCells tree per corpus row dominated this operator's
+    // planning AND evaluation; arithmetic and (dist, cell) tie-breaks are
+    // bit-identical — MlSpec pins ivf == brute force)
+    graft.functions.expressions.GraftFunctions.register(corpus.sparkSession)
+    val cbB64 = graft.functions.expressions.VectorKernels.encodeMatrix(codebook)
     val cCells = corpus.select(c(idCol).as("neighbor_id"), c(vecCol).as("nvec"),
-      rankedCells(c(vecCol), codebook).getItem(0).getField("cell").as("cell"))
+      call_function("nearest_cell", c(vecCol), lit(cbB64)).as("cell"))
     val qCells = queries.select(c(idCol).as("query_id"), c(vecCol).as("qvec"),
-      explode(transform(slice(rankedCells(c(vecCol), codebook), 1, math.min(effProbe, codebook.length)),
-        s => s.getField("cell"))).as("cell"))
+      explode(call_function("ranked_cells", c(vecCol), lit(cbB64),
+        lit(math.min(effProbe, codebook.length)))).as("cell"))
     // no distinct: each corpus vector is assigned to exactly ONE cell and a
     // query's probed cells are distinct (slice of the ranked array), so a
     // (query, neighbor) pair can only meet once — the defensive distinct
@@ -308,6 +299,7 @@ object Similarity {
               planes: Int = 8, probes: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
               probeAll: Boolean = false): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),

@@ -194,15 +194,6 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
-  /** Polynomial rolling-hash fingerprint over the whitespace-normalized
-    * text (Rabin-Karp style, base 257 mod 2^64) — the classic document
-    * fingerprint primitive; stateful loop, hence a UDF.
-    */
-  val rollingFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      graft.functions.expressions.RollingFingerprintExpr.fingerprint(text)
-    }
-
   /** Winnowing fingerprint set: k-gram rolling hashes, minimum per window w
     * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) — the near-dup fingerprint.
     * Gram hash = the same base-257 polynomial as the document fingerprint

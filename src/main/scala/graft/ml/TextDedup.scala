@@ -547,10 +547,19 @@ object TextDedup {
     val bandedD = withBkey(minhashBanded(baseD, numHashes, bands)).localCheckpoint(true)
     val deltaKeys = bandedD.select($"band", $"bsig", $"bkey").distinct()
       .localCheckpoint(true) // one row per delta-occupied bucket — small
+    // ONE collect decides the prune: limit(cap+1) over the distinct bkeys —
+    // an overflowing probe means "too many keys, skip pruning" exactly like
+    // the old count()-then-collect pair, minus one driver job per batch.
+    // (Gating on DISTINCT BKEYS instead of (band, bsig) triples only
+    // prunes in more cases; pruning never changes the output — the exact
+    // (band, bsig) semi-join downstream is the authority, MlSpec pins it.)
     val keys: Option[Array[Long]] =
-      if (pruneMaxKeys > 0 && deltaKeys.count() <= pruneMaxKeys)
-        Some(deltaKeys.select($"bkey").distinct().collect().map(_.getLong(0)))
-      else None
+      if (pruneMaxKeys <= 0) None
+      else {
+        val ks = deltaKeys.select($"bkey").distinct()
+          .limit(pruneMaxKeys + 1).collect().map(_.getLong(0))
+        if (ks.length > pruneMaxKeys) None else Some(ks)
+      }
     val bandedC = indexFor(keys).select($"id", $"band", $"bsig")
       .join(deltaKeys.select($"band", $"bsig"), Seq("band", "bsig"), "left_semi")
       .localCheckpoint(false)
@@ -680,26 +689,36 @@ object TextDedup {
   }
 
   /** SimHash near-dups, exact-verified: Hamming-radius candidates (lossless
-    * banding, radius enforced in the join) filtered by the TRUE shingle-
-    * Jaccard threshold, making the output hash-independent and oracle-
-    * checkable: docs at Jaccard ≥ 0.9 differ in a handful of tokens, each
-    * flipping E[·]≈3.6 of 64 SimHash bits, so radius-`maxHamming`
-    * candidates cover them and the verified output equals the exhaustive
-    * exact-Jaccard pair set. The radius-covers-the-threshold claim is
-    * CORPUS-DEPENDENT (short docs concentrate flips: a measured 11-token
-    * doc at exactly J = 0.9 flipped 7 bits): default radius 8 over the old
-    * 6 buys that headroom, and since the radius cut runs inside the banding
-    * join the wider radius's extra chance cohabitants cost an 8-byte
-    * bit_count each, never a verify row. MlSpec pins the license (every
-    * fixture oracle pair within the default radius, none shed).
+    * banding, radius enforced in the join) UNIONED with MinHash-LSH
+    * candidates over the same base, then filtered by the TRUE shingle-
+    * Jaccard threshold — the output is hash-independent and equals the
+    * exhaustive exact-Jaccard pair set.
+    *
+    * Why two candidate channels (r6 correctness fix): the radius-covers-
+    * the-threshold claim a single simhash channel rests on is false for
+    * NEAR-THRESHOLD pairs. At J exactly at the threshold the differing
+    * token mass is a constant FRACTION of the document, so the expected
+    * bit-flip count is Θ(64 × that fraction) — independent of document
+    * length — and only pairs well ABOVE the threshold (tiny differing
+    * fraction) concentrate inside a fixed radius. Measured at sf0.001:
+    * three oracle pairs at hamming 9, 9 and 12 against radius 8 (an
+    * 11-word doc + its one-token-appended planted dup sits at J = 9/10
+    * exactly). No finite radius is sound, so completeness comes from the
+    * second channel: [[minhashLshCandidatesFromBase]] over the SAME
+    * materialized base (16 bands × 2 rows — misses a J ≥ 0.9 pair w.p.
+    * (1-0.9²)¹⁶ ≈ 3·10⁻¹², the q_dedup_minhash exhaustiveness argument),
+    * pure long arithmetic over the already-hashed `toks`, no extra text
+    * scan. The union can only ADD candidates; the exact verify decides
+    * membership, so the fix moves the output toward the oracle and nowhere
+    * else. The simhash channel stays for its hamming-radius semantics
+    * ([[simhashCandidates]] remains the radius-exact standalone operator).
     *
     * ONE corpus scan: the simhash signature and the hashed-shingle set are
-    * computed in the same projection and materialized together, so the
-    * candidate generator (banding over `sh`) and the exact-verify stage
-    * (array_intersect over `toks`) share a single pass over the text — the
-    * separate-scans form paid the tokenize+hash cost twice. Restricting
-    * signatures to docs with ≥ `shingleSize` words only prunes candidates
-    * the verify's inner joins against the base would discard anyway.
+    * computed in the same projection and materialized together; both
+    * candidate channels and the exact-verify stage reuse that base.
+    * Restricting signatures to docs with ≥ `shingleSize` words only prunes
+    * candidates the verify's inner joins against the base would discard
+    * anyway.
     */
   def simhashNearDups(docs: DataFrame, jaccardThreshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",
@@ -711,9 +730,14 @@ object TextDedup {
         array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
           i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("toks"))
       .localCheckpoint(false)
-    val cands = simhashBandedPairs(base.select($"id", $"sh"), maxHamming, maxBucket,
-      logDrops = true)
-    verifyJaccardOnBase(cands, base.select($"id", $"toks"), jaccardThreshold)
+    val candsHam = simhashBandedPairs(base.select($"id", $"sh"), maxHamming, maxBucket,
+      logDrops = true).select($"a", $"b")
+    // drop audit off on the completeness channel: same generator as
+    // q_dedup_minhash, audited there; bucket-cap semantics match
+    val candsMh = minhashLshCandidatesFromBase(base.select($"id", $"toks"),
+      maxBucket = maxBucket, logDrops = false)
+    verifyJaccardOnBase(candsHam.unionByName(candsMh).distinct(),
+      base.select($"id", $"toks"), jaccardThreshold)
   }
 
   /** Connected components over near-dup candidate pairs → (doc_id, keep_id):
@@ -807,7 +831,16 @@ object TextDedup {
       converged = nextSig == sig
       sig = nextSig
     }
-    if (!converged && sig._1 <= driverEndgameEdges) {
+    // NOT-CONVERGED exit (below the endgame threshold, or the maxIter
+    // escape): the edge set is contracted but possibly NOT a star forest —
+    // emitting it as the doc_id→keep_id mapping would be silently wrong
+    // components. The driver union-find finishes EXACTLY regardless of
+    // shape, so it runs on EVERY non-converged exit. maxIter is a safety
+    // valve star contraction never reaches in practice (O(log n)
+    // convergence ≪ 50); a pathological caller-forced tiny maxIter now
+    // gets a correct answer (or a driver-side error on a still-huge
+    // collect), never a wrong one — MlSpec pins this with maxIter = 0.
+    if (!converged) {
       val out = driverUnionFind(spark, edges)
       edges.unpersist()
       return out
@@ -944,15 +977,17 @@ object TextDedup {
         math.max(planes, math.ceil(math.log(n / target) / math.log(2)).toInt)
       case _ => planes
     }
-    val planeOf = (p: Int) => array((0 until dim).map { i =>
-      lit(if (((Hashing.det(0x97a3e5L, p, i) >> 17) & 1L) == 1L) 1.0f else -1.0f)
-    }: _*)
+    // signature, norm and the verify dot product run as native expressions
+    // (rh_bucket_long / float_norm / float_dot): the former Column forms
+    // built nPlanes×dim literal trees per row — planning and evaluation
+    // cost, no semantic content. Arithmetic is replicated at the SAME
+    // widths (float plane products and squares, widened into double
+    // accumulators; draw bit 17 of det(0x97a3e5, p, i)) so buckets and
+    // cosines are bit-identical (MlSpec pins recall/threshold fixtures).
+    graft.functions.expressions.GraftFunctions.register(emb.sparkSession)
     val v = col(vecCol)
-    val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
-    val sigBits = (0 until nPlanes).map { p =>
-      val dot = aggregate(zip_with(v, planeOf(p), (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val norm = call_function("float_norm", v)
+    val sigBits = call_function("rh_bucket_long", v, lit(dim), lit(nPlanes), lit(0x97a3e5L))
     val withSig = emb.select(col(idCol).as("id"), v.as("vec"), norm.as("nrm"), sigBits.as("bucket"))
     val probeMasks =
       if (multiProbe) array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))): _*)
@@ -971,8 +1006,7 @@ object TextDedup {
         col("y.vec").as("vb"), col("y.nrm").as("nb"))
     cand.join(withSig.select($"id".as("a"), $"vec".as("va"), $"nrm".as("na")), Seq("a"))
       .select($"a", $"b",
-        (aggregate(zip_with($"va", $"vb", (p, q) => p * q),
-          lit(0.0d), (acc, t) => acc + t) / ($"na" * $"nb")).as("cosine"))
+        (call_function("float_dot", $"va", $"vb") / ($"na" * $"nb")).as("cosine"))
       .filter($"cosine" >= threshold)
   }
 }

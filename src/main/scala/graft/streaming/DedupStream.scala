@@ -63,10 +63,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Per-batch SHUFFLE cost is O(new pairs + affected-cluster members) —
   * the latest-wins windows run only over affected docs' rows
   * ([[updatedRedirects]]) — never O(corpus) and never O(all clusters);
-  * the redirects table is scanned per batch, but narrow-columnar and
-  * semi-join-pruned, and the doc_id-bucketed commits are folded by the
-  * same in-run size-tiered compaction as the band index, so neither the
-  * chain length nor the history a scan pays grows unboundedly. Clusters
+  * the doc-keyed history reads behind those windows are FILE-SKIPPED to
+  * the affected ids' doc_id buckets (the band-index machinery), leaving
+  * one narrow columnar survivor_id-keyed scan per pairful batch, and the
+  * doc_id-bucketed commits are folded by the same in-run size-tiered
+  * compaction as the band index, so neither the chain length nor the
+  * history a scan pays grows unboundedly. Clusters
   * only grow (pairs are only added), so rows are only ever superseded,
   * never deleted. The drained
   * view equals the batch [[TextDedup.resolveClusters]] over the whole
@@ -248,16 +250,42 @@ object DedupStream {
           generation = gen, buckets = indexBuckets, bucketCol = "doc_id"))
       }
     }
-    if (!indexTable.currentSnapshot.exists(_.generation >= gen))
-      // reuse the candidate generator's materialized band rows; recompute
-      // only on the replay path where pairs+redirects already committed
-      // (bit-identical either way — the pipeline is deterministic)
-      timed("indexAppend")(indexTable.appendBucketed(
-        deltaBandRows.getOrElse(
-          TextDedup.bandIndexOf(delta, ShingleSize, NumHashes, Bands)),
-        generation = gen, buckets = indexBuckets, bucketCol = "bkey"))
-    if (!corpusTable.currentSnapshot.exists(_.generation >= gen))
-      timed("corpusAppend")(corpusTable.append(delta, generation = gen))
+    // index and corpus appends are INDEPENDENT once pairs+redirects have
+    // committed (nothing in this batch reads either table after this
+    // point, and a replay that finds any subset of {index, corpus}
+    // committed re-runs exactly the missing appends — the per-table
+    // generation guards below are evaluated BEFORE the concurrent window
+    // opens, same as the sequential form). Running them as concurrent
+    // Spark jobs (the crawl engine's commit-window pattern; FAIR pools
+    // share task slots) removes one serial append from the per-batch
+    // floor. The pairs→redirects→{index ∥ corpus} ORDER guarantee the
+    // replay analysis needs is preserved: both futures start strictly
+    // after the redirects append returns.
+    val needIndex = !indexTable.currentSnapshot.exists(_.generation >= gen)
+    val needCorpus = !corpusTable.currentSnapshot.exists(_.generation >= gen)
+    if (needIndex || needCorpus) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def pooled[T](pool: String)(body: => T): Future[T] = Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        body
+      }
+      val idxF = if (!needIndex) Future.successful(()) else pooled("commit-index") {
+        // reuse the candidate generator's materialized band rows; recompute
+        // only on the replay path where pairs+redirects already committed
+        // (bit-identical either way — the pipeline is deterministic)
+        timed("indexAppend")(indexTable.appendBucketed(
+          deltaBandRows.getOrElse(
+            TextDedup.bandIndexOf(delta, ShingleSize, NumHashes, Bands)),
+          generation = gen, buckets = indexBuckets, bucketCol = "bkey"))
+      }
+      val corpF = if (!needCorpus) Future.successful(()) else pooled("commit-corpus") {
+        timed("corpusAppend")(corpusTable.append(delta, generation = gen))
+      }
+      Await.result(idxF, Duration.Inf)
+      Await.result(corpF, Duration.Inf): Unit
+    }
     if (autoCompactDirs > 0) {
       if (indexTable.commitDirCount >= autoCompactDirs)
         indexTable.compactTiered(spark, math.max(1, autoCompactDirs / 2))
@@ -279,42 +307,107 @@ object DedupStream {
     * [[latestRedirects]] would window-shuffle every redirect row ever
     * written on every pairful batch — O(cumulative membership + history),
     * exactly the growth the per-batch bound forbids. Instead the table is
-    * scanned with narrow semi-joins (endpoint docs; then docs with ANY
+    * read with narrow semi-joins (endpoint docs; then docs with ANY
     * generation's row pointing at an affected root — a superset of the
     * current members, safe because their latest rows are re-derived and
     * re-filtered) and the row_number window runs only over those docs'
-    * rows. Scans stay O(table) but columnar and pushdown-friendly; every
-    * shuffle is affected-sized.
+    * rows. Every shuffle is affected-sized, and the two DOC-KEYED reads
+    * (the endpoints' history, then the candidate members' history) are
+    * FILE-SKIPPED: the table is doc_id-BUCKETED, so the known doc ids map
+    * driver-side to the stamped bucket ids of the files that can hold
+    * their rows ([[graft.snapshot.SnapshotStore.bucketIdOfLong]] /
+    * [[SnapshotTable.readBucketSkipped]] — the same machinery the band
+    * index uses) and the scan lists only those files: O(affected buckets)
+    * of the table, independent of how much superseded history the chain
+    * carries between [[compactRedirects]] passes. The one remaining full
+    * scan is the roots→members lookup, which keys on `survivor_id` — NOT
+    * the bucket column — so no doc_id-bucketed layout can skip for it; it
+    * stays a single narrow columnar scan (two 8-byte columns,
+    * semi-join-pruned) bounded by compaction cadence, the accepted cost.
+    * Id sets are collected with a driver cap ([[redirectIdCap]]); a batch
+    * whose affected set overflows it falls back to the full-scan
+    * semi-join form — correctness never depends on the skip.
     */
   private def updatedRedirects(spark: SparkSession, rt: SnapshotTable, docs: DataFrame,
                                pairs: DataFrame, quality: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def emptyHist = {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Int)].toDF("doc_id", "survivor_id", "gen")
+    }
+    // EMPTY-HISTORY fast path (first pairful batch of a stream): no stored
+    // rows means no affected old clusters — the resolution is exactly
+    // memberRedirects over the new pairs; skipping the endpoint/candidate
+    // machinery saves its ~4 driver jobs of per-batch floor
+    if (rt.currentSnapshot.forall(_.files.isEmpty))
+      return TextDedup.memberRedirects(docs, pairs, quality)
     val hist = rt.read(spark).map(_.select(col("doc_id"), col("survivor_id"), col("gen")))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[(Long, Long, Int)].toDF("doc_id", "survivor_id", "gen")
-      }
+      .getOrElse(emptyHist)
     def latestOf(rows: DataFrame): DataFrame =
       rows.withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("gen").desc)))
         .filter(col("rn") === 1).select(col("doc_id"), col("survivor_id"))
+    // all history rows of a KNOWN doc-id set: bucket-skipped when the ids
+    // fit the driver cap (their rows can only live in their ids' buckets),
+    // the plain full read otherwise — identical row set either way
+    def historyOf(ids: Option[Array[Long]]): DataFrame = ids match {
+      case Some(ds) =>
+        historySlice(spark, rt, ds)
+          .map(_.select(col("doc_id"), col("survivor_id"), col("gen")))
+          .getOrElse(emptyHist)
+      case None => hist
+    }
     val endpoints = pairs.select(col("a").as("doc_id"))
       .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
-    // current roots of the endpoints: window over the ENDPOINT docs' rows only
-    val endpointLatest = latestOf(hist.join(endpoints, Seq("doc_id"), "left_semi"))
+    val endpointIds = collectIds(endpoints)
+    // current roots of the endpoints: window over the ENDPOINT docs' rows
+    // only, read from the endpoints' buckets only
+    val endpointLatest = latestOf(
+      historyOf(endpointIds).join(endpoints, Seq("doc_id"), "left_semi"))
     val roots = endpoints
       .join(endpointLatest, Seq("doc_id"), "left")
       .select(coalesce(col("survivor_id"), col("doc_id")).as("survivor_id")).distinct()
     // candidate members: any doc with ANY row naming an affected root
     // (superset of the current members — a doc whose LATEST survivor is in
     // `roots` names it in that latest row, so nothing is missed; stale
-    // matches are dropped by the re-filter below)
+    // matches are dropped by the re-filter below). survivor_id-keyed: the
+    // one full columnar scan (see doc comment).
     val candDocs = hist.join(roots, Seq("survivor_id"), "left_semi")
       .select(col("doc_id")).distinct()
-    val stars = latestOf(hist.join(candDocs, Seq("doc_id"), "left_semi"))
+    val candIds = collectIds(candDocs)
+    val stars = latestOf(
+      historyOf(candIds).join(candDocs, Seq("doc_id"), "left_semi"))
       .join(roots, Seq("survivor_id"), "left_semi")
       .filter(col("doc_id") =!= col("survivor_id"))
       .select(col("doc_id").as("a"), col("survivor_id").as("b"))
     TextDedup.memberRedirects(docs, pairs.unionByName(stars), quality)
+  }
+
+  /** Driver-side cap for the affected-id collections that drive the
+    * redirects file skip (same bound as the band index's `pruneMaxKeys`):
+    * beyond it the batch falls back to full-scan semi-joins.
+    */
+  private val redirectIdCap: Int = 1 << 15
+
+  /** Collect a single-LONG-column id set up to [[redirectIdCap]]: Some(all
+    * ids) when they fit, None (fall back to the unskipped read) when the
+    * limit+1 probe shows an overflow.
+    */
+  private def collectIds(ids: DataFrame): Option[Array[Long]] = {
+    val arr = ids.limit(redirectIdCap + 1).collect().map(_.getLong(0))
+    if (arr.length > redirectIdCap) None else Some(arr)
+  }
+
+  /** The redirects-history slice the endpoint/member windows read for a
+    * known id set — exposed for DedupStreamSpec to assert the FILE-SKIP
+    * property (`df.inputFiles` tracks the ids' buckets, not the chain's
+    * history).
+    */
+  private[streaming] def historySlice(spark: SparkSession, rt: SnapshotTable,
+                                      ids: Array[Long]): Option[DataFrame] = {
+    val occupied = scala.collection.mutable.HashMap.empty[Int, Set[Int]]
+    def keep(n: Int, b: Int): Boolean = occupied.getOrElseUpdate(n,
+      ids.iterator.map(graft.snapshot.SnapshotStore.bucketIdOfLong(_, n)).toSet)(b)
+    rt.readBucketSkipped(spark, "doc_id", keep)
   }
 }

@@ -16,7 +16,7 @@ class ExpressionsSpec extends AnyFunSuite {
       .toDF("id", "text")
     val both = df.select($"id",
       expr("rolling_fingerprint(text)").as("native"),
-      TextAnalysis.rollingFingerprint($"text").as("viaUdf"))
+      graft.TestUdfs.rollingFingerprint($"text").as("viaUdf"))
     both.collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
 
     // normalization semantics

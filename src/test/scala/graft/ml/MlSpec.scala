@@ -88,6 +88,24 @@ class MlSpec extends AnyFunSuite {
     assert(oracle.subsetOf(cands), s"oracle pairs lost to shed buckets: ${oracle -- cands}")
   }
 
+  test("simhashNearDups catches near-threshold pairs BEYOND the hamming radius (completeness channel)") {
+    // the sf0.001 regression the r6 fix closes: an 11-word doc and its
+    // one-token-appended planted dup sit at shingle-Jaccard 9/10 = 0.9 —
+    // an oracle pair — but at hamming 12, outside the radius-8 banding
+    // (near-threshold pairs do NOT concentrate inside any fixed radius).
+    // The minhash candidate channel must surface it; the exact verify
+    // keeps it. Text taken verbatim from the failing sf0.001 fixture doc.
+    val t = "part query agg table column hash value batch vector a slow"
+    val docs = Seq((480L, t), (1000480L, t + " zzzplanted")).toDF("doc_id", "text")
+    val d = java.lang.Long.bitCount(
+      TextDedup.simhash64Kernel(t) ^ TextDedup.simhash64Kernel(t + " zzzplanted"))
+    assert(d > 8, s"fixture must actually sit beyond the radius (hamming $d)")
+    val got = TextDedup.simhashNearDups(docs, 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == Set((480L, 1000480L)),
+      s"beyond-radius near-threshold pair must come from the minhash channel, got $got")
+  }
+
   test("connected components resolve a 4096-node chain (adversarial depth) in O(log n) rounds") {
     // a path graph is the worst case for star-contraction depth; maxIter 30
     // bounds rounds well under the 50 default while >> log2(4096)=12 —
@@ -234,6 +252,21 @@ class MlSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("connected components: forced tiny maxIter exits through the driver endgame, never a wrong mapping") {
+    // r6 (VERDICT item 4): a long path graph cannot converge in one
+    // star-contraction round; with the distributed path forced
+    // (driverEndgameEdges = 0) and maxIter = 1 the loop exits NOT
+    // converged — the old escape emitted the half-contracted edge set as
+    // the final mapping (silently wrong components); now every
+    // non-converged exit finishes through the exact union-find
+    val n = 40L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = TextDedup.connectedComponents(pairs, maxIter = 1, driverEndgameEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap,
+      s"one component with keep_id 0 expected, got ${got.toSeq.sortBy(_._1).take(10)}...")
   }
 
   test("cluster resolution keeps the argmax-quality survivor; ties and singletons deterministic") {
@@ -422,7 +455,7 @@ class MlSpec extends AnyFunSuite {
       TextAnalysis.tokenCount($"text").as("n"),
       TextAnalysis.langIdHeuristic($"text").as("lang"),
       TextAnalysis.qualityScore($"text").as("q"),
-      TextAnalysis.rollingFingerprint($"text").as("fp"))
+      graft.TestUdfs.rollingFingerprint($"text").as("fp"))
       .as[(Long, Int, String, Double, Long)].collect().map(r => r._1 -> r).toMap
     assert(got(1L)._2 == 9 && got(1L)._3 == "en")
     assert(got(2L)._3 == "es")
@@ -431,7 +464,7 @@ class MlSpec extends AnyFunSuite {
     assert(got(1L)._4 == 1.0 && got(3L)._4 < 1.0)
     // fingerprint is deterministic and whitespace-normalized
     val fp2 = df.filter($"doc_id" === 1)
-      .select(TextAnalysis.rollingFingerprint(concat($"text", lit("  ")))).as[Long].head()
+      .select(graft.TestUdfs.rollingFingerprint(concat($"text", lit("  ")))).as[Long].head()
     assert(fp2 == got(1L)._5)
   }
 

@@ -235,6 +235,48 @@ class DedupStreamSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet == want + ((9999L, 9999L, true)))
   }
 
+  test("redirects history reads are FILE-SKIPPED to the affected ids' buckets, not the chain's history") {
+    // r6 (VERDICT item 2): the endpoint/member latest-wins windows read the
+    // redirects table through historySlice — the scanned FILE set must
+    // track the known ids' doc_id buckets, independent of how many
+    // superseded generations the chain carries.
+    val store = SnapshotStore(Files.createTempDirectory("graft-dstream-skip").toString)
+    val corpusT = store.table("corpus")
+    val pairsT = store.table("near_dup_pairs")
+    val indexT = store.table("band_index")
+    val redirT = store.table("redirects")
+    // 6 pairful batches, each touching two docs -> 6 bucketed commit dirs
+    // of history (autoCompactDirs=0 keeps every dir so history is real)
+    (0 until 6).foreach { i =>
+      val b = Seq((i.toLong, doc(70 + i)), (1000L + i, doc(70 + i) + " zzz"))
+        .toDF("doc_id", "text")
+      DedupStream.commitBatch(spark, corpusT, pairsT, indexT, b, batchId = i.toLong,
+        threshold = 0.8, autoCompactDirs = 0, redirectsTable = Some(redirT))
+    }
+    val full = redirT.read(spark).get
+    val allFiles = full.inputFiles.toSet
+    assert(allFiles.size >= 6, s"fixture must carry a real chain, got ${allFiles.size} files")
+    val (buckets, bucketCol) = redirT.bucketSpec.get
+    assert(bucketCol == "doc_id")
+    def stampOf(path: String): Int = {
+      val stem = path.substring(path.lastIndexOf('/') + 1).takeWhile(_ != '.')
+      stem.substring(stem.lastIndexOf('_') + 1).toInt
+    }
+    val ids = Array(3L) // one affected endpoint
+    val wantBuckets = ids.map(SnapshotStore.bucketIdOfLong(_, buckets)).toSet
+    val slice = DedupStream.historySlice(spark, redirT, ids).get
+    val sliceFiles = slice.inputFiles.toSet
+    // exactly the files stamped with the ids' buckets — strictly fewer than
+    // the chain's full file set
+    assert(sliceFiles == allFiles.filter(f => wantBuckets(stampOf(f))),
+      s"slice must list exactly the ids' bucket files")
+    assert(sliceFiles.size < allFiles.size,
+      s"skip must prune: ${sliceFiles.size} vs ${allFiles.size}")
+    // and the slice holds every history row of those ids (the window's input)
+    assert(slice.filter($"doc_id" === 3L).count() ==
+      full.filter($"doc_id" === 3L).count())
+  }
+
   test("restart with a different bucket count self-heals: tables rebucket at stream start, drain unchanged") {
     // run 1 drains two files at indexBuckets=8; run 2 resumes the SAME
     // checkpoint over a third file at the default 32. Without the heal the
