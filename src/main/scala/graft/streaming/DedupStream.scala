@@ -112,7 +112,8 @@ object DedupStream {
              indexBuckets: Int = 32,
              autoCompactDirs: Int = 16,
              redirectsTable: Option[SnapshotTable] = None,
-             quality: Column => Column = TextAnalysis.qualityScore): StreamingQuery = {
+             quality: Column => Column = TextAnalysis.qualityScore,
+             redirectSkipMinRows: Long = DefaultRedirectSkipMinRows): StreamingQuery = {
     // self-heal ONCE at stream start: a restart against tables written
     // with a different bucket count (or pre-bucketing history) would
     // otherwise create mixed-spec chains, silently disabling the tiered
@@ -131,7 +132,8 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         commitBatch(spark, corpusTable, pairsTable, indexTable, batch, batchId,
-          threshold, indexBuckets, autoCompactDirs, redirectsTable, quality)
+          threshold, indexBuckets, autoCompactDirs, redirectsTable, quality,
+          redirectSkipMinRows)
         if (sys.env.get("GRAFT_STREAM_TIMING").contains("1"))
           System.err.println(f"[stream-timing] batch=$batchId TOTAL        ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       }
@@ -198,7 +200,8 @@ object DedupStream {
                                      indexBuckets: Int = 32,
                                      autoCompactDirs: Int = 16,
                                      redirectsTable: Option[SnapshotTable] = None,
-                                     quality: Column => Column = TextAnalysis.qualityScore): Unit = {
+                                     quality: Column => Column = TextAnalysis.qualityScore,
+                                     redirectSkipMinRows: Long = DefaultRedirectSkipMinRows): Unit = {
     import spark.implicits._
     // GRAFT_STREAM_TIMING=1: per-stage walls to stderr (latency triage aid,
     // same pattern as GRAFT_PHASE_TIMING on the crawl path)
@@ -245,7 +248,8 @@ object DedupStream {
         // silently no-op) and the affected-docs semi-joins could never
         // read storage-aligned
         timed("redirects")(rt.appendBucketed(
-          updatedRedirects(spark, rt, corpus.unionByName(delta), pairs, quality)
+          updatedRedirects(spark, rt, corpus.unionByName(delta), pairs, quality,
+            redirectSkipMinRows)
             .withColumn("gen", lit(gen)),
           generation = gen, buckets = indexBuckets, bucketCol = "doc_id"))
       }
@@ -329,7 +333,8 @@ object DedupStream {
     * semi-join form — correctness never depends on the skip.
     */
   private def updatedRedirects(spark: SparkSession, rt: SnapshotTable, docs: DataFrame,
-                               pairs: DataFrame, quality: Column => Column): DataFrame = {
+                               pairs: DataFrame, quality: Column => Column,
+                               redirectSkipMinRows: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def emptyHist = {
       import spark.implicits._
@@ -341,6 +346,15 @@ object DedupStream {
     // machinery saves its ~4 driver jobs of per-batch floor
     if (rt.currentSnapshot.forall(_.files.isEmpty))
       return TextDedup.memberRedirects(docs, pairs, quality)
+    // the file skip arms only once the table outgrows the jobs it costs
+    // (same crossover discipline as the crawl engine's seenSemiFilterRows
+    // gate): each skipped read replaces a shared lazy scan with its own
+    // id-collect job + fresh file listing — ~2 extra driver round-trips per
+    // pairful batch — which a sub-[[redirectSkipMinRows]] columnar scan
+    // never costs in the first place (measured: +4 s/drain at the 3-batch
+    // sf0.1 fixture with the skip unconditional). Above the threshold the
+    // scan is the dominant term and the skip reads O(affected buckets).
+    val skipWorthIt = rt.currentSnapshot.exists(_.rowCount >= redirectSkipMinRows)
     val hist = rt.read(spark).map(_.select(col("doc_id"), col("survivor_id"), col("gen")))
       .getOrElse(emptyHist)
     def latestOf(rows: DataFrame): DataFrame =
@@ -359,7 +373,7 @@ object DedupStream {
     }
     val endpoints = pairs.select(col("a").as("doc_id"))
       .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
-    val endpointIds = collectIds(endpoints)
+    val endpointIds = if (skipWorthIt) collectIds(endpoints) else None
     // current roots of the endpoints: window over the ENDPOINT docs' rows
     // only, read from the endpoints' buckets only
     val endpointLatest = latestOf(
@@ -374,7 +388,7 @@ object DedupStream {
     // one full columnar scan (see doc comment).
     val candDocs = hist.join(roots, Seq("survivor_id"), "left_semi")
       .select(col("doc_id")).distinct()
-    val candIds = collectIds(candDocs)
+    val candIds = if (skipWorthIt) collectIds(candDocs) else None
     val stars = latestOf(
       historyOf(candIds).join(candDocs, Seq("doc_id"), "left_semi"))
       .join(roots, Seq("survivor_id"), "left_semi")
@@ -388,6 +402,16 @@ object DedupStream {
     * beyond it the batch falls back to full-scan semi-joins.
     */
   private val redirectIdCap: Int = 1 << 15
+
+  /** Default arming threshold for the redirects file skip: below this many
+    * stored rows the two extra id-collect jobs + per-read file listings
+    * cost more than the full columnar scans they avoid (measured +4 s per
+    * 3-batch drain at the sf0.1 fixture); above it the scan term dominates
+    * and the skip reads O(affected buckets) instead of O(history). 2¹⁷ rows
+    * ≈ a few MB columnar — the same order as the CC driver-endgame bound,
+    * and safely past the crossover on any hardware this engine targets.
+    */
+  val DefaultRedirectSkipMinRows: Long = 1L << 17
 
   /** Collect a single-LONG-column id set up to [[redirectIdCap]]: Some(all
     * ids) when they fit, None (fall back to the unskipped read) when the

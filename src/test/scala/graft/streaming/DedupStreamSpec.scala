@@ -275,6 +275,26 @@ class DedupStreamSpec extends AnyFunSuite {
     // and the slice holds every history row of those ids (the window's input)
     assert(slice.filter($"doc_id" === 3L).count() ==
       full.filter($"doc_id" === 3L).count())
+
+    // the LIVE path: a store drained with the skip FORCED ON
+    // (redirectSkipMinRows = 0) resolves identically to one drained with it
+    // off (the fixture sits below the default arming threshold) — the skip
+    // is a read strategy, never a semantic
+    val storeOn = SnapshotStore(Files.createTempDirectory("graft-dstream-skip-on").toString)
+    val redirOn = storeOn.table("redirects")
+    (0 until 6).foreach { i =>
+      val b = Seq((i.toLong, doc(70 + i)), (1000L + i, doc(70 + i) + " zzz"))
+        .toDF("doc_id", "text")
+      DedupStream.commitBatch(spark, storeOn.table("corpus"), storeOn.table("near_dup_pairs"),
+        storeOn.table("band_index"), b, batchId = i.toLong,
+        threshold = 0.8, autoCompactDirs = 0, redirectsTable = Some(redirOn),
+        redirectSkipMinRows = 0L)
+    }
+    val viewOn = DedupStream.latestRedirects(spark, redirOn)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viewOff = DedupStream.latestRedirects(spark, redirT)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viewOn == viewOff, "skip-armed drain must resolve identically")
   }
 
   test("restart with a different bucket count self-heals: tables rebucket at stream start, drain unchanged") {
