@@ -1,8 +1,10 @@
 package graft.functions.expressions
 
 import graft.util.Hashing
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -409,15 +411,28 @@ case class HyperplaneBucketExpr(child: Expression, dim: Int, planes: Int, seed: 
   override protected def vecChild: Expression = child
   override def checkInputDataTypes(): TypeCheckResult = requireFloatVec("hyperplane_bucket")
   override def dataType: DataType = IntegerType
+  // never null: the Column form mapped a NULL vector to bucket 0 (each
+  // plane's `when(null >= 0, ...).otherwise(0)` fell through) — replicated
+  // explicitly here, so a null child yields 0, not NULL and not an NPE
   override def nullable: Boolean = false
   override def prettyName: String = "hyperplane_bucket"
 
-  override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.hyperplaneBucketI(v.asInstanceOf[ArrayData], dim, planes, seed)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else VectorKernels.hyperplaneBucketI(v.asInstanceOf[ArrayData], dim, planes, seed)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.expressions.VectorKernels.hyperplaneBucketI($v, $dim, $planes, ${seed}L)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         |${c.code}
+         |int ${ev.value} = ${c.isNull} ? 0 :
+         |  graft.functions.expressions.VectorKernels.hyperplaneBucketI(${c.value}, $dim, $planes, ${seed}L);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
     copy(child = newChild)
@@ -431,15 +446,27 @@ case class HyperplaneBucketLongExpr(child: Expression, dim: Int, planes: Int, se
   override protected def vecChild: Expression = child
   override def checkInputDataTypes(): TypeCheckResult = requireFloatVec("rh_bucket_long")
   override def dataType: DataType = LongType
+  // never null: same NULL-vector ⇒ bucket 0 rule as the int form (the
+  // Column form's per-plane `otherwise(0L)` fallthrough)
   override def nullable: Boolean = false
   override def prettyName: String = "rh_bucket_long"
 
-  override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.hyperplaneBucketL(v.asInstanceOf[ArrayData], dim, planes, seed)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else VectorKernels.hyperplaneBucketL(v.asInstanceOf[ArrayData], dim, planes, seed)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.expressions.VectorKernels.hyperplaneBucketL($v, $dim, $planes, ${seed}L)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+         |${c.code}
+         |long ${ev.value} = ${c.isNull} ? 0L :
+         |  graft.functions.expressions.VectorKernels.hyperplaneBucketL(${c.value}, $dim, $planes, ${seed}L);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketLongExpr =
     copy(child = newChild)
