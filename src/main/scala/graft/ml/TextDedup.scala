@@ -730,6 +730,11 @@ object TextDedup {
         array_distinct(transform(sequence(lit(0), size(words) - lit(shingleSize)),
           i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(shingleSize)))))).as("toks"))
       .localCheckpoint(false)
+    // the two channels run SEQUENTIALLY on purpose: a concurrent-futures
+    // variant (eager base + FAIR pools, the commit-window pattern) was
+    // tried and reverted — each channel's banding/occupancy jobs already
+    // fill the machine, so overlapping them just interleaves two saturated
+    // job sets (A/B: no gain, occasional regressions)
     val candsHam = simhashBandedPairs(base.select($"id", $"sh"), maxHamming, maxBucket,
       logDrops = true).select($"a", $"b")
     // drop audit off on the completeness channel: same generator as
